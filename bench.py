@@ -1,0 +1,84 @@
+"""Headline benchmark: steps/sec at 128³ with 60-iter Jacobi projection.
+
+BASELINE.json metric; north-star target ≥1000 steps/s on one TPU v5e chip
+(the reference publishes no numbers — BASELINE.md).  ``vs_baseline`` is the
+ratio against that 1000 steps/s target.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+Method: the bench128 preset (buoyancy + emitter + windowed trilinear
+advection + 60-iter Jacobi projection), stepped in ``lax.scan`` rollouts of
+``SUBSTEPS`` so host dispatch amortizes; timing excludes compilation and
+synchronizes via an on-device scalar fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+SUBSTEPS = 10
+TRIALS = 3
+TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+    from fluidsim_tpu.scene.sources import apply_custom_source
+
+    cfg = fs.get_preset("bench128")
+    state = fs.zeros_state(cfg)
+    dt = np.float32(cfg.effective_params()[0])
+
+    def one(state, _):
+        t = state.time + dt
+        density, velocity = apply_custom_source(
+            state.density, state.velocity, cfg, t
+        )
+        state = state.replace(density=density, velocity=velocity)
+        return simulate_step_3d(state, cfg), None
+
+    @jax.jit
+    def rollout(state):
+        return jax.lax.scan(one, state, None, length=SUBSTEPS)[0]
+
+    # Warm-up: compile + one rollout (also seeds non-trivial fields).
+    state = rollout(state)
+    float(state.density.mean())  # sync
+
+    best = 0.0
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        state = rollout(state)
+        state = rollout(state)
+        float(state.density.mean())  # device-complete sync, 4-byte fetch
+        elapsed = time.perf_counter() - t0
+        best = max(best, 2 * SUBSTEPS / elapsed)
+
+    if bool(jnp.isnan(state.density).any()):
+        print(json.dumps({"error": "NaN in density after benchmark"}))
+        sys.exit(1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "steps/sec at 128^3 (60-iter Jacobi)",
+                "value": round(best, 2),
+                "unit": "steps/sec",
+                "vs_baseline": round(best / TARGET_STEPS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

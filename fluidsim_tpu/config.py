@@ -70,6 +70,11 @@ class SimConfig:
     # The 3D solver defaults to the standard single post-advection
     # projection; set True for the reference-style double projection.
     double_project: bool = False
+    # 3D advection formulation: 0 = exact 8-tap trilinear gather (slow on
+    # TPU), K>0 = windowed hat-weight sum over static shifts — identical to
+    # the gather while |displacement| < K cells, with displacement clamped
+    # to K (a CFL limiter).  See ops/advect.py.
+    advect_window: int = 0
 
     # -- 3D-only physics (BASELINE configs 2-3; absent from reference) --
     buoyancy: float = 0.0               # upward force ∝ density
@@ -286,6 +291,7 @@ def preset_plume_64() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=20,
+        advect_window=3,
     ).validate()
 
 
@@ -310,6 +316,7 @@ def preset_vortex_128() -> SimConfig:
         obstacle_position=(0.5, 0.45, 0.5),
         obstacle_radius=0.08,
         jacobi_iters=20,
+        advect_window=3,
     ).validate()
 
 
@@ -332,6 +339,7 @@ def preset_multi_emitter_256() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=20,
+        advect_window=3,
     ).validate()
 
 
@@ -353,6 +361,7 @@ def preset_sharded_512() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=20,
+        advect_window=2,
     ).validate()
 
 
@@ -379,6 +388,7 @@ def preset_bench_128() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=60,
+        advect_window=2,
     ).validate()
 
 

@@ -1,0 +1,196 @@
+"""Simulation driver — the host-side equivalent of the reference's
+``Update()`` loop (FluidSim.cs:390-450) and MonoBehaviour lifecycle.
+
+The engine owns:
+
+* one **fused jitted step**: emitter injection + solver step compiled into a
+  single XLA program (the reference re-enters managed code between every
+  kernel; here nothing leaves the device between sub-steps).  Multi-step
+  rollouts run under ``lax.scan`` so even the per-call dispatch cost
+  amortizes away.
+* the interaction API (mouse-drag forces, source repositioning —
+  FluidSim.cs:397-436, 979-988) as explicit methods,
+* pause (FluidSim.cs:149-153), reset (``ResetSimulation``,
+  FluidSim.cs:213-300),
+* metrics logging every ``logging_interval`` steps to the SQLite store
+  (FluidSim.cs:572-575) with the reference's smoothed-FPS EMA,
+* an optional NaN guard (the failure-detection analog SURVEY.md §5.3
+  suggests): detects a diverged field and raises with the offending step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+from .metrics import FrameRateTracker, MetricsStore, compute_metrics
+from .models.stable2d import simulate_step_2d
+from .models.stable3d import simulate_step_3d
+from .scene.interact import add_force_to_area, mouse_drag_force
+from .scene.obstacles import build_obstacle_mask
+from .scene.sources import apply_custom_source
+from .state import FluidState, zeros_state
+
+
+class Engine:
+    """Host driver for a fluid simulation."""
+
+    def __init__(self, cfg: SimConfig, store: Optional[MetricsStore] = None,
+                 nan_guard: bool = False):
+        self.cfg = cfg.validate()
+        self.paused = False
+        self.nan_guard = nan_guard
+        self.store = store
+        self.run_id = store.save_run_params(cfg) if store else -1
+        self._fps = FrameRateTracker()
+        self._step_cache = {}
+        self.reset()
+
+    # -- lifecycle ------------------------------------------------------
+
+    def reset(self) -> None:
+        """``ResetSimulation`` (FluidSim.cs:213-300): reallocate fields and
+        re-rasterize obstacles from the current config."""
+        obst = build_obstacle_mask(self.cfg)
+        self.state = zeros_state(self.cfg, obstacles=jnp.asarray(obst))
+
+    def set_config(self, cfg: SimConfig) -> None:
+        """``OnValidate`` analog (FluidSim.cs:154-180): grid-shape changes
+        reset state; parameter-only changes re-rasterize obstacles and
+        recompile lazily."""
+        old_shape = self.cfg.grid_shape
+        self.cfg = cfg.validate()
+        self._step_cache.clear()
+        if cfg.grid_shape != old_shape:
+            self.reset()
+        else:
+            self.state = self.state.replace(
+                obstacles=jnp.asarray(build_obstacle_mask(cfg))
+            )
+
+    def set_paused(self, paused: bool) -> None:
+        """FluidSim.cs:149-153."""
+        self.paused = paused
+
+    # -- stepping -------------------------------------------------------
+
+    def _solver_step(self, state: FluidState) -> FluidState:
+        if self.cfg.ndim == 3:
+            return simulate_step_3d(state, self.cfg)
+        return simulate_step_2d(state, self.cfg)
+
+    def _fused_step(self, n_substeps: int):
+        """Compile (and cache) emitter + solver for ``n_substeps``."""
+        key = n_substeps
+        if key in self._step_cache:
+            return self._step_cache[key]
+        cfg = self.cfg
+        dt = jnp.float32(cfg.effective_params()[0])
+
+        def one(state, _):
+            t = state.time + dt
+            density, velocity = apply_custom_source(
+                state.density, state.velocity, cfg, t
+            )
+            state = state.replace(density=density, velocity=velocity)
+            return self._solver_step(state), None
+
+        @jax.jit
+        def stepper(state):
+            if n_substeps == 1:
+                return one(state, None)[0]
+            return jax.lax.scan(one, state, None, length=n_substeps)[0]
+
+        self._step_cache[key] = stepper
+        return stepper
+
+    def step(self, n: int = 1, substeps_per_dispatch: int = 1) -> FluidState:
+        """Advance ``n`` steps (no-op while paused, FluidSim.cs:392).
+
+        ``substeps_per_dispatch > 1`` rolls that many steps into one
+        ``lax.scan`` dispatch — use for throughput runs; metrics are then
+        sampled once per dispatch.
+        """
+        if self.paused:
+            return self.state
+        stepper = self._fused_step(substeps_per_dispatch)
+        dispatches, rem = divmod(n, substeps_per_dispatch)
+        for _ in range(dispatches):
+            self.state = stepper(self.state)
+            self._after_dispatch(substeps_per_dispatch)
+        if rem:
+            stepper1 = self._fused_step(1)
+            for _ in range(rem):
+                self.state = stepper1(self.state)
+                self._after_dispatch(1)
+        return self.state
+
+    def _after_dispatch(self, n_steps: int) -> None:
+        fps = self._fps.tick()
+        step_now = int(self.state.step)
+        if self.nan_guard:
+            if bool(jnp.isnan(self.state.density).any()):
+                raise FloatingPointError(
+                    f"NaN detected in density at step {step_now}"
+                )
+        if (
+            self.store is not None
+            and self.cfg.enable_runtime_logging
+            and step_now % max(self.cfg.logging_interval, 1) < n_steps
+        ):
+            avg, vmax = compute_metrics(self.state.density, self.state.velocity)
+            self.store.log_runtime_metrics(
+                self.run_id, step_now, float(avg), float(vmax), fps
+            )
+
+    # -- interaction (FluidSim.cs:390-483, 979-988) ---------------------
+
+    def get_source_position(self) -> Tuple[float, ...]:
+        """Grid-coordinate source position (FluidSim.cs:979-982)."""
+        n = self.cfg.current_size
+        return tuple(p * n for p in self.cfg.source_position)
+
+    def set_source_position(self, *coords: float) -> None:
+        """Clamped normalized reposition (FluidSim.cs:984-988)."""
+        n = self.cfg.current_size
+        pos = tuple(float(np.clip(c / n, 0.0, 1.0)) for c in coords)
+        self.cfg = self.cfg.replace(source_position=pos)
+        self._step_cache.clear()
+
+    def drag(self, prev_pos: Sequence[float], cur_pos: Sequence[float]) -> None:
+        """Apply one mouse-drag event (FluidSim.cs:414-436)."""
+        center, force, radius = mouse_drag_force(
+            tuple(prev_pos), tuple(cur_pos), self.cfg
+        )
+        vel, density = add_force_to_area(
+            self.state.velocity, self.state.density, center, force, radius,
+            self.cfg.source_strength,
+        )
+        self.state = self.state.replace(velocity=vel, density=density)
+
+    # -- persistence ----------------------------------------------------
+
+    def save_configuration(self) -> int:
+        """``SaveCurrentConfiguration`` (FluidSim.cs:2004-2023)."""
+        if self.store is None:
+            return -1
+        return self.store.save_run_params(self.cfg)
+
+    def save_checkpoint(self, path: str) -> None:
+        from .io.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state, self.cfg)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "Engine":
+        from .io.checkpoint import load_checkpoint
+
+        state, cfg = load_checkpoint(path)
+        eng = cls(cfg, **kw)
+        eng.state = state
+        return eng

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ops.advect import advect_3d
+from ..ops.advect import advect_3d, advect_multi_3d
 from ..ops.forces import (
     buoyancy_force,
     enforce_obstacle_boundaries_3d,
@@ -39,7 +39,10 @@ from ..state import FluidState
 
 def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
     dt, diff, visc = cfg.effective_params()
-    obst = state.obstacles
+    # Static no-obstacle specialization: passing None removes every
+    # obstacle branch from the compiled program.
+    obst = state.obstacles if cfg.enable_obstacle else None
+    win = cfg.advect_window
     vel = state.velocity
     density = state.density
 
@@ -60,8 +63,8 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
     if cfg.double_project:
         vel, _ = project_3d(vel, obst, cfg.jacobi_iters)
 
-    # -- self-advection -------------------------------------------------
-    vel = jnp.stack([advect_3d(c + 1, vel[c], vel, dt, obst) for c in range(3)])
+    # -- self-advection (one shared backtrace for all three components) --
+    vel = advect_multi_3d((1, 2, 3), vel, vel, dt, obst, window=win)
 
     # -- pressure projection --------------------------------------------
     vel, pressure = project_3d(vel, obst, cfg.jacobi_iters)
@@ -69,12 +72,12 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
     # -- density transport ----------------------------------------------
     if diff > 0.0:
         density = diffuse_3d(0, density, diff, dt, obst, cfg)
-    density = advect_3d(0, density, vel, dt, obst)
+    density = advect_3d(0, density, vel, dt, obst, window=win)
 
     # -- obstacles ------------------------------------------------------
     if cfg.enable_obstacle:
         vel = enforce_obstacle_boundaries_3d(
-            vel, obst, cfg.cell_size, cfg.viscosity
+            vel, state.obstacles, cfg.cell_size, cfg.viscosity
         )
 
     return state.replace(

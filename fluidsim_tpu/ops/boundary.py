@@ -92,29 +92,59 @@ def set_bnd_2d(b: int, x, obst):
     return x
 
 
-def set_bnd_3d(b: int, x, obst):
+def _axis_index(shape, axis):
+    import jax
+
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
+def _shift_to_face(x, axis):
+    """(low, high): low[t] = x[t+1 along axis], high[t] = x[t−1 along axis]
+    (zero-filled past the border; only read at the faces)."""
+    nd = x.ndim
+    pad_lo = [(0, 0)] * nd
+    pad_lo[axis] = (0, 1)
+    sl_lo = [slice(None)] * nd
+    sl_lo[axis] = slice(1, None)
+    low = jnp.pad(x, pad_lo)[tuple(sl_lo)]
+    pad_hi = [(0, 0)] * nd
+    pad_hi[axis] = (1, 0)
+    sl_hi = [slice(None)] * nd
+    sl_hi[axis] = slice(None, -1)
+    high = jnp.pad(x, pad_hi)[tuple(sl_hi)]
+    return low, high
+
+
+def apply_faces_3d(b: int, x):
+    """Wall faces of a [z, y, x] array, applied z→y→x (later write wins at
+    shared edges/corners).  Fused masked formulation — equivalent to the
+    sequential face updates but a single XLA fusion, no scatter chain."""
+    for axis, neg_b in ((0, 3), (1, 2), (2, 1)):
+        s = -1.0 if b == neg_b else 1.0
+        idx = _axis_index(x.shape, axis)
+        n = x.shape[axis]
+        low, high = _shift_to_face(x, axis)
+        x = jnp.where(idx == 0, s * low, jnp.where(idx == n - 1, s * high, x))
+    return x
+
+
+def set_bnd_3d(b: int, x, obst=None):
     """3D boundary conditions. Arrays are ``[z, y, x]``.
 
     ``b``: 0 scalar, 1 = vx (x-walls negate), 2 = vy, 3 = vz.
     Faces are mirrored from the adjacent interior plane, applied z→y→x so
     shared edges/corners take the later write (a standard 3D generalization
     of the reference's 2D rule; the reference has no 3D mode).
+
+    ``obst=None`` statically disables the obstacle mirror (the
+    no-obstacle specialization — cfg.enable_obstacle is a static config).
     """
-    sz = -1.0 if b == 3 else 1.0
-    sy = -1.0 if b == 2 else 1.0
-    sx = -1.0 if b == 1 else 1.0
-
-    x = x.at[0, :, :].set(sz * x[1, :, :])
-    x = x.at[-1, :, :].set(sz * x[-2, :, :])
-    x = x.at[:, 0, :].set(sy * x[:, 1, :])
-    x = x.at[:, -1, :].set(sy * x[:, -2, :])
-    x = x.at[:, :, 0].set(sx * x[:, :, 1])
-    x = x.at[:, :, -1].set(sx * x[:, :, -2])
-
-    if b == 1:
-        x = _mirror_obstacles_axis(x, obst, axis=2)
-    elif b == 2:
-        x = _mirror_obstacles_axis(x, obst, axis=1)
-    elif b == 3:
-        x = _mirror_obstacles_axis(x, obst, axis=0)
+    x = apply_faces_3d(b, x)
+    if obst is not None:
+        if b == 1:
+            x = _mirror_obstacles_axis(x, obst, axis=2)
+        elif b == 2:
+            x = _mirror_obstacles_axis(x, obst, axis=1)
+        elif b == 3:
+            x = _mirror_obstacles_axis(x, obst, axis=0)
     return x

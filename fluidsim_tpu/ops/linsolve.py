@@ -106,17 +106,25 @@ def jacobi_3d(b: int, x, x0, a: float, c: float, obst, iters: int,
 
     ``x_{k+1} = (x0 + a·Σ₆ x_k) / c`` on interior non-obstacle cells;
     obstacle cells copy the previous iterate; ``set_bnd_3d`` after each
-    sweep.  This is the jnp oracle path; the Pallas kernel in
-    ``fluidsim_tpu.pallas`` implements the same recurrence.
+    sweep.  ``obst=None`` statically removes the obstacle branches.
+
+    Each sweep is one fused XLA pass: the interior update is zero-padded
+    back to full shape and ``set_bnd_3d`` rewrites the entire border from
+    interior values (every border cell is covered by a face plane, so the
+    pad zeros never survive — proven by the face-pass data-flow).  This is
+    the jnp oracle path; the Pallas kernel in ``fluidsim_tpu.pallas``
+    implements the same recurrence with VMEM-resident iterations.
     """
     core = (slice(1, -1),) * 3
-    obst_int = obst[core]
     x0_int = x0[core]
+    obst_int = obst[core] if obst is not None else None
 
     def body(_, x):
         upd = (x0_int + a * _nbr_sum_3d(x)) / c
-        out = x.at[core].set(jnp.where(obst_int, x[core], upd))
-        return set_bnd_3d(b, out, obst)
+        if obst_int is not None:
+            upd = jnp.where(obst_int, x[core], upd)
+        full = jax.lax.pad(upd, jnp.asarray(0.0, x.dtype), [(1, 1, 0)] * 3)
+        return set_bnd_3d(b, full, obst)
 
     return jax.lax.fori_loop(0, iters, body, x, unroll=unroll)
 

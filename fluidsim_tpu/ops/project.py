@@ -57,11 +57,12 @@ def project_2d(vel_x, vel_y, obst, iters: int = 20):
     return vel_x, vel_y, p
 
 
-def project_3d(vel, obst, iters: int = 20):
+def project_3d(vel, obst=None, iters: int = 20):
     """3D projection on a ``[z, y, x]`` grid; ``vel`` is ``(3, N, N, N)``.
 
     Same structure as 2D with the 6-neighbor divergence and ``c = 6`` —
     the coefficient the reference uses is exactly right here.
+    ``obst=None`` statically removes the obstacle branches.
     Returns (vel, p).
     """
     n = vel.shape[-1]
@@ -84,14 +85,18 @@ def project_3d(vel, obst, iters: int = 20):
 
     p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
 
-    obst_int = obst[core]
     gx = 0.5 * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) * nf
     gy = 0.5 * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) * nf
     gz = 0.5 * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) * nf
+    if obst is not None:
+        obst_int = obst[core]
+        gx = jnp.where(obst_int, 0.0, gx)
+        gy = jnp.where(obst_int, 0.0, gy)
+        gz = jnp.where(obst_int, 0.0, gz)
 
-    vx = vx.at[core].set(jnp.where(obst_int, vx[core], vx[core] - gx))
-    vy = vy.at[core].set(jnp.where(obst_int, vy[core], vy[core] - gy))
-    vz = vz.at[core].set(jnp.where(obst_int, vz[core], vz[core] - gz))
+    vx = vx.at[core].set(vx[core] - gx)
+    vy = vy.at[core].set(vy[core] - gy)
+    vz = vz.at[core].set(vz[core] - gz)
     vx = set_bnd_3d(1, vx, obst)
     vy = set_bnd_3d(2, vy, obst)
     vz = set_bnd_3d(3, vz, obst)

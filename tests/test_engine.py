@@ -1,0 +1,157 @@
+"""Engine driver, metrics store, and checkpoint tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fluidsim_tpu.config import SimConfig, ObstacleShape
+from fluidsim_tpu.engine import Engine
+from fluidsim_tpu.metrics import FrameRateTracker, MetricsStore
+from fluidsim_tpu.io.checkpoint import (
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+    save_config,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        size=32,
+        time_step=0.05,
+        enable_custom_source=True,
+        source_strength=50.0,
+        source_radius=2.0,
+        source_position=(0.3, 0.5),
+        enable_obstacle=False,
+        obstacle_position=(0.5, 0.5),
+        logging_interval=2,
+    )
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_engine_runs_and_pauses():
+    eng = Engine(tiny_cfg())
+    eng.step(3)
+    assert int(eng.state.step) == 3
+    assert float(eng.state.density.mean()) > 0
+    eng.set_paused(True)
+    eng.step(5)
+    assert int(eng.state.step) == 3
+    eng.set_paused(False)
+    eng.step(1)
+    assert int(eng.state.step) == 4
+
+
+def test_engine_scan_rollout_matches_loop():
+    e1 = Engine(tiny_cfg())
+    e2 = Engine(tiny_cfg())
+    e1.step(6, substeps_per_dispatch=1)
+    e2.step(6, substeps_per_dispatch=3)
+    np.testing.assert_allclose(
+        np.asarray(e1.state.density), np.asarray(e2.state.density),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_engine_interaction():
+    eng = Engine(tiny_cfg(enable_custom_source=False))
+    assert float(jnp.abs(eng.state.velocity).max()) == 0.0
+    eng.drag((8.0, 16.0), (14.0, 16.0))
+    assert float(jnp.abs(eng.state.velocity).max()) > 0.0
+    # source reposition API (FluidSim.cs:979-988)
+    eng.set_source_position(16.0, 24.0)
+    assert eng.get_source_position() == (16.0, 24.0)
+
+
+def test_engine_reset_on_resize():
+    eng = Engine(tiny_cfg())
+    eng.step(2)
+    eng.set_config(tiny_cfg(size=48))
+    assert eng.state.density.shape == (48, 48)
+    assert int(eng.state.step) == 0
+
+
+def test_metrics_store_roundtrip(tmp_path):
+    db = str(tmp_path / "test.db")
+    with MetricsStore(db) as store:
+        # velocity emission on — rows with MaxVelocityMagnitude == 0 are
+        # skipped (FluidSim.cs:597 parity, test below)
+        eng = Engine(
+            tiny_cfg(source_emits_velocity=True, source_velocity=8.0),
+            store=store,
+        )
+        assert eng.run_id > 0
+        eng.step(6)
+        rows = store.fetch_metrics(eng.run_id)
+        assert len(rows) >= 2
+        for step, avg, vmax, fps in rows:
+            assert avg > 0 and vmax > 0
+
+
+def test_metrics_store_default_timestep_guard(tmp_path):
+    """SQL.cs:53-56: the float32-0.1 default timestep refuses to save."""
+    db = str(tmp_path / "test.db")
+    with MetricsStore(db) as store:
+        assert store.save_run_params(tiny_cfg(time_step=0.1)) == -1
+        assert store.save_run_params(tiny_cfg(time_step=0.05)) > 0
+
+
+def test_metrics_skips_zero_rows(tmp_path):
+    """FluidSim.cs:597: rows with zero metrics are skipped."""
+    db = str(tmp_path / "t.db")
+    with MetricsStore(db) as store:
+        rid = store.save_run_params(tiny_cfg())
+        store.log_runtime_metrics(rid, 1, 0.0, 5.0, 60.0)
+        store.log_runtime_metrics(rid, 2, 3.0, 5.0, 60.0)
+        assert len(store.fetch_metrics(rid)) == 1
+
+
+def test_framerate_ema():
+    fr = FrameRateTracker()
+    fr.tick(now=0.0)
+    # constant 100 FPS frames: EMA approaches 100 from 0 with α=0.9
+    vals = [fr.tick(now=0.01 * (i + 1)) for i in range(50)]
+    assert vals[0] == pytest.approx(10.0, rel=1e-6)  # 0.9*0 + 0.1*100
+    assert vals[-1] > 99.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    eng = Engine(tiny_cfg(enable_obstacle=True,
+                          obstacle_shape=ObstacleShape.CIRCLE))
+    eng.step(3)
+    path = str(tmp_path / "ckpt.npz")
+    eng.save_checkpoint(path)
+    eng2 = Engine.from_checkpoint(path)
+    assert int(eng2.state.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(eng2.state.density), np.asarray(eng.state.density)
+    )
+    assert eng2.cfg == eng.cfg
+    # resumed run continues identically
+    eng.step(2)
+    eng2.step(2)
+    np.testing.assert_allclose(
+        np.asarray(eng2.state.density), np.asarray(eng.state.density),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = tiny_cfg(obstacle_shape=ObstacleShape.AIRFOIL)
+    p = str(tmp_path / "cfg.json")
+    save_config(p, cfg)
+    assert load_config(p) == cfg
+
+
+def test_nan_guard():
+    eng = Engine(tiny_cfg(enable_custom_source=False), nan_guard=True)
+    eng.state = eng.state.replace(
+        density=eng.state.density.at[5, 5].set(jnp.nan)
+    )
+    with pytest.raises(FloatingPointError):
+        eng.step(1)

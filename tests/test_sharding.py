@@ -1,0 +1,104 @@
+"""Multi-device tests on the forced 8-device CPU mesh (conftest.py):
+sharded execution must match single-device results (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import fluidsim_tpu as fs
+from fluidsim_tpu.ops.linsolve import jacobi_3d
+from fluidsim_tpu.parallel.halo import jacobi_3d_sharded
+from fluidsim_tpu.parallel.sharding import (
+    make_mesh,
+    shard_state,
+    sharded_step_fn,
+    state_sharding,
+)
+from fluidsim_tpu.scene.obstacles import build_obstacle_mask
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def cfg3d(**kw):
+    base = fs.get_preset("vortex128").replace(
+        size=32, advect_window=2, source_radius=2.0
+    )
+    return base.replace(**kw) if kw else base
+
+
+def test_sharded_jacobi_matches_single_device():
+    n = 32
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, n, n), jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n, n, n), jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+
+    single = jacobi_3d(0, x, x0, 1.0, 6.0, None, iters=20)
+    sharded = jacobi_3d_sharded(x, x0, 1.0, 6.0, 20, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_step_matches_single_device(n_dev):
+    cfg = cfg3d()
+    obst = build_obstacle_mask(cfg)
+    state = fs.zeros_state(cfg, obstacles=jnp.asarray(obst))
+
+    # single-device run
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+    from fluidsim_tpu.scene.sources import apply_custom_source
+
+    dt = np.float32(cfg.effective_params()[0])
+
+    @jax.jit
+    def single_step(state):
+        t = state.time + dt
+        d, v = apply_custom_source(state.density, state.velocity, cfg, t)
+        return simulate_step_3d(state.replace(density=d, velocity=v), cfg)
+
+    s1 = state
+    for _ in range(3):
+        s1 = single_step(s1)
+
+    # sharded run
+    mesh = make_mesh(jax.devices()[:n_dev])
+    s2 = shard_state(state, mesh)
+    step = sharded_step_fn(cfg, mesh)
+    for _ in range(3):
+        s2 = step(s2)
+
+    np.testing.assert_allclose(
+        np.asarray(s2.density), np.asarray(s1.density), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.velocity), np.asarray(s1.velocity), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_sharded_state_placement():
+    cfg = cfg3d()
+    mesh = make_mesh(jax.devices()[:8])
+    state = shard_state(fs.zeros_state(cfg), mesh)
+    sh = state.density.sharding
+    assert sh.is_equivalent_to(
+        state_sharding(mesh).density, ndim=state.density.ndim
+    )
+    # each device holds a 4-plane slab of the 32³ grid
+    shard_shapes = {s.data.shape for s in state.density.addressable_shards}
+    assert shard_shapes == {(4, 32, 32)}
+
+
+def test_graft_dryrun_multichip():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,147 @@
+"""3D solver tests: windowed-vs-gather advection equivalence, projection
+strength (c=6 is correct in 3D), physics sanity for the BASELINE configs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsim_tpu.config import SimConfig
+from fluidsim_tpu.engine import Engine
+from fluidsim_tpu.ops.advect import advect_3d, advect_multi_3d
+from fluidsim_tpu.ops.forces import vorticity_confinement_3d
+from fluidsim_tpu.ops.project import project_3d
+
+
+N = 24
+
+
+def rand(key, shape, scale=1.0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32) * scale
+
+
+def test_windowed_advection_equals_gather_within_cfl():
+    """The hat-window formulation is exactly the trilinear gather when
+    displacement < window (ops/advect.py)."""
+    d0 = rand(0, (N, N, N), 2.0)
+    # |v|·dt·(N−2) < 2 cells → window 3 is exact
+    vel = rand(1, (3, N, N, N), 0.5)
+    dt = 2.0 / (0.5 * 4 * (N - 2))  # max disp ≈ 2 cells w/ 4σ margin
+    g = advect_3d(0, d0, vel, dt, None, window=0)
+    w = advect_3d(0, d0, vel, dt, None, window=3)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_advection_with_obstacles():
+    d0 = rand(0, (N, N, N), 2.0)
+    vel = rand(1, (3, N, N, N), 0.3)
+    obst = np.zeros((N, N, N), bool)
+    obst[8:12, 8:12, 8:12] = True
+    obst = jnp.asarray(obst)
+    dt = 0.02
+    g = advect_3d(0, d0, vel, dt, obst, window=0)
+    w = advect_3d(0, d0, vel, dt, obst, window=3)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multi_advect_matches_single():
+    fields = rand(0, (3, N, N, N), 1.5)
+    vel = rand(1, (3, N, N, N), 0.3)
+    dt = 0.02
+    multi = advect_multi_3d((1, 2, 3), fields, vel, dt, None, window=2)
+    for c in range(3):
+        single = advect_3d(c + 1, fields[c], vel, dt, None, window=2)
+        np.testing.assert_allclose(np.asarray(multi[c]), np.asarray(single),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_project_3d_reduces_divergence_strongly():
+    """In 3D, c = 6 is the correct Poisson diagonal — unlike the 2D
+    reference quirk, projection should kill most of the divergence.
+
+    Uses a *smooth* velocity field: the collocated central-difference
+    div/grad pair has checkerboard modes in its null space (a property of
+    this discretization family, the reference's included), so white noise
+    cannot be projected; and Jacobi damps low frequencies slowly, so the
+    bound reflects 60 iterations, not the converged solve.
+    """
+    k = 2 * np.pi / N
+    z, y, x = np.meshgrid(np.arange(N), np.arange(N), np.arange(N),
+                          indexing="ij")
+    vel = jnp.asarray(
+        np.stack([
+            np.sin(k * x) * np.cos(k * y) * np.cos(k * z),
+            np.cos(k * x) * np.sin(k * y) * np.cos(k * z),
+            np.cos(k * x) * np.cos(k * y) * np.sin(k * z),
+        ]),
+        jnp.float32,
+    )
+
+    def div_norm(vel):
+        vx, vy, vz = vel[0], vel[1], vel[2]
+        d = (
+            (vx[1:-1, 1:-1, 2:] - vx[1:-1, 1:-1, :-2])
+            + (vy[1:-1, 2:, 1:-1] - vy[1:-1, :-2, 1:-1])
+            + (vz[2:, 1:-1, 1:-1] - vz[:-2, 1:-1, 1:-1])
+        )
+        return float(np.abs(np.asarray(d)).mean())
+
+    before = div_norm(vel)
+    out, _ = project_3d(vel, None, iters=60)
+    after = div_norm(out)
+    assert after < before * 0.35
+    # a second application keeps converging (0.26 → ~0.07 measured)
+    out2, _ = project_3d(out, None, iters=60)
+    assert div_norm(out2) < after * 0.5
+
+
+def test_obstacle_cells_zero_velocity_3d():
+    cfg = SimConfig(
+        ndim=3, size=32, time_step=0.03, auto_adjust_parameters=False,
+        diffusion=0.0, viscosity=0.0, double_diffuse=False,
+        enable_custom_source=True, source_strength=100.0, source_radius=3.0,
+        source_emits_velocity=True, source_velocity=10.0,
+        source_position=(0.5, 0.2, 0.5),
+        enable_obstacle=True, obstacle_position=(0.5, 0.5, 0.5),
+        obstacle_radius=0.15, advect_window=2,
+    )
+    eng = Engine(cfg)
+    eng.step(3)
+    obst = np.asarray(eng.state.obstacles)
+    interior = np.zeros_like(obst)
+    interior[1:-1, 1:-1, 1:-1] = True
+    inside = obst & interior
+    assert inside.sum() > 0
+    assert np.abs(np.asarray(eng.state.velocity)[:, inside]).max() == 0.0
+
+
+@pytest.mark.parametrize("preset", ["smoke32", "plume64"])
+def test_baseline_presets_stable(preset):
+    """BASELINE configs run without NaN and produce rising plumes."""
+    import fluidsim_tpu as fs
+
+    cfg = fs.get_preset(preset)
+    if cfg.size > 48:  # keep CPU CI fast: shrink but keep physics flags
+        cfg = cfg.replace(size=32, source_radius=2.0)
+    eng = Engine(cfg, nan_guard=True)
+    eng.step(8)
+    dens = np.asarray(eng.state.density)
+    assert dens.sum() > 0
+    n = cfg.current_size
+    com_y = float(
+        (dens.sum(axis=(0, 2)) * np.arange(n)).sum() / max(dens.sum(), 1e-9)
+    )
+    emitter_y = cfg.source_position[1] * n
+    assert com_y >= emitter_y - 1.0  # plume at or above the emitter
+
+
+def test_vorticity_confinement_preserves_shape_and_scale():
+    vel = rand(7, (3, N, N, N), 1.0)
+    out = vorticity_confinement_3d(vel, dt=0.01, eps=2.0)
+    assert out.shape == vel.shape
+    # small dt·ε perturbation: bounded relative change
+    delta = float(jnp.abs(out - vel).max())
+    assert 0.0 < delta < 1.0
