@@ -1,0 +1,221 @@
+"""Command-line entry points — the L5/L6 replacement (SURVEY.md §7.9).
+
+The reference's interaction/UI layers are a Unity scene and a UI-Toolkit
+menu (MainMenuEvents.cs; Enter / Quit / Save-config buttons).  The
+TPU-native equivalents:
+
+    python -m fluidsim_tpu.cli run      --preset scene_a --steps 500
+    python -m fluidsim_tpu.cli bench    --preset bench128 --steps 100
+    python -m fluidsim_tpu.cli render   --preset multi256 --steps 200 -o out
+    python -m fluidsim_tpu.cli save-config --preset scene_a -o cfg.json
+    python -m fluidsim_tpu.cli presets
+
+``run`` logs metrics to the SQLite store (the Save button's
+``SaveCurrentConfiguration`` is the ``save-config`` command); ``render``
+writes PNG/NPY frames via the on-device render path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_engine(args, store=None):
+    from .config import get_preset
+    from .engine import Engine
+    from .io.checkpoint import load_config
+
+    if args.config:
+        cfg = load_config(args.config)
+    else:
+        cfg = get_preset(args.preset)
+    if args.size:
+        cfg = cfg.replace(size=args.size)
+    return Engine(cfg, store=store, nan_guard=args.nan_guard)
+
+
+def cmd_run(args):
+    from .metrics import MetricsStore
+
+    store = MetricsStore(args.db) if args.db else None
+    eng = _build_engine(args, store=store)
+    from .utils.profiling import StepTimer
+
+    timer = StepTimer()
+    per = max(args.substeps, 1)
+    done = 0
+    while done < args.steps:
+        n = min(per, args.steps - done)
+        with timer:
+            eng.step(n, substeps_per_dispatch=n)
+        done += n
+    summary = timer.summary(steps_per_sample=per)
+    if args.checkpoint:
+        eng.save_checkpoint(args.checkpoint)
+    print(json.dumps({
+        "preset": args.preset,
+        "grid": list(eng.cfg.grid_shape),
+        "steps": int(eng.state.step),
+        "run_id": eng.run_id,
+        **summary,
+    }))
+
+
+def cmd_bench(args):
+    args.db = None
+    args.nan_guard = False
+    eng = _build_engine(args)
+    per = max(args.substeps, 1)
+    eng.step(per, substeps_per_dispatch=per)  # compile + warm
+    from .utils.profiling import StepTimer
+
+    timer = StepTimer()
+    done = 0
+    while done < args.steps:
+        with timer:
+            eng.step(per, substeps_per_dispatch=per)
+        done += per
+    print(json.dumps({
+        "preset": args.preset,
+        "grid": list(eng.cfg.grid_shape),
+        **timer.summary(steps_per_sample=per),
+    }))
+
+
+def cmd_render(args):
+    eng = _build_engine(args)
+    os.makedirs(args.outdir, exist_ok=True)
+    frames = []
+    stride = max(args.render_every, 1)
+    for i in range(args.steps // stride):
+        eng.step(stride, substeps_per_dispatch=stride)
+        frame = _render(eng)
+        frames.append(frame)
+        _write_frame(frame, os.path.join(args.outdir, f"frame_{i:05d}"))
+    print(json.dumps({
+        "frames": len(frames),
+        "outdir": args.outdir,
+        "shape": list(frames[-1].shape) if frames else None,
+    }))
+
+
+def _render(eng):
+    import jax.numpy as jnp
+
+    if eng.cfg.ndim == 3:
+        from .render.raymarch import render_frame_3d
+
+        return np.asarray(render_frame_3d(eng.state, eng.cfg))
+    from .render.colormap import render_frame_2d
+    from .render.streamlines import (
+        compute_streamline_segments,
+        rasterize_streamlines,
+    )
+
+    frame = render_frame_2d(
+        eng.state.density, eng.state.pressure, eng.state.obstacles, eng.cfg,
+        elapsed_time=float(eng.state.time),
+    )
+    from .config import ColorMode
+
+    if eng.cfg.show_streamlines or eng.cfg.color_mode == ColorMode.STREAMLINES:
+        segs = compute_streamline_segments(
+            eng.state.velocity[0], eng.state.velocity[1],
+            eng.state.obstacles, eng.cfg,
+        )
+        return rasterize_streamlines(segs, eng.cfg,
+                                     base_frame=np.asarray(frame))
+    return np.asarray(frame)
+
+
+def _write_frame(frame, path):
+    arr = np.clip(np.asarray(frame, np.float32), 0.0, 1.0)
+    try:
+        from PIL import Image  # optional
+
+        img = (arr[::-1] * 255).astype(np.uint8)  # grid y-up → image y-down
+        if img.shape[-1] == 3:
+            Image.fromarray(img, "RGB").save(path + ".png")
+        else:
+            Image.fromarray(img, "RGBA").save(path + ".png")
+    except ImportError:
+        np.save(path + ".npy", arr)
+
+
+def cmd_save_config(args):
+    from .config import get_preset
+    from .io.checkpoint import save_config
+    from .metrics import MetricsStore
+
+    cfg = get_preset(args.preset)
+    if args.out:
+        save_config(args.out, cfg)
+    run_id = -1
+    if args.db:
+        with MetricsStore(args.db) as store:
+            run_id = store.save_run_params(cfg)
+    print(json.dumps({"preset": args.preset, "out": args.out,
+                      "run_id": run_id}))
+
+
+def cmd_presets(args):
+    from .config import PRESETS
+
+    for name in sorted(PRESETS):
+        cfg = PRESETS[name]()
+        print(f"{name:12s} ndim={cfg.ndim} grid={cfg.grid_shape} "
+              f"dt={cfg.time_step} jacobi={cfg.jacobi_iters}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fluidsim_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, steps=100):
+        sp.add_argument("--preset", default="smoke32")
+        sp.add_argument("--config", default=None,
+                        help="JSON config file (overrides --preset)")
+        sp.add_argument("--size", type=int, default=None)
+        sp.add_argument("--steps", type=int, default=steps)
+        sp.add_argument("--substeps", type=int, default=10,
+                        help="steps per lax.scan dispatch")
+
+    sp = sub.add_parser("run", help="run a simulation, log metrics")
+    common(sp)
+    sp.add_argument("--db", default=None, help="SQLite metrics db path")
+    sp.add_argument("--checkpoint", default=None, help="save .npz at end")
+    sp.add_argument("--nan-guard", action="store_true")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("bench", help="steady-state steps/sec")
+    common(sp)
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("render", help="run + write frames")
+    common(sp, steps=100)
+    sp.add_argument("--outdir", "-o", default="frames")
+    sp.add_argument("--render-every", type=int, default=5)
+    sp.add_argument("--db", default=None)
+    sp.add_argument("--nan-guard", action="store_true")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("save-config", help="persist a config (Save button)")
+    sp.add_argument("--preset", default="scene_b")
+    sp.add_argument("--out", "-o", default=None)
+    sp.add_argument("--db", default=None)
+    sp.set_defaults(fn=cmd_save_config)
+
+    sp = sub.add_parser("presets", help="list presets")
+    sp.set_defaults(fn=cmd_presets)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

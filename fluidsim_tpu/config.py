@@ -141,6 +141,13 @@ class SimConfig:
 
     # -- numerics (new; the reference is float32-only) ------------------
     dtype: str = "float32"
+    # Hot-kernel backend for the 3D solver: "auto" uses the Pallas
+    # VMEM-blocked kernels (pallas/) on a real TPU when the grid is
+    # compatible (N lane-aligned, no obstacles for the Jacobi kernel) and
+    # falls back to the fused-XLA ops otherwise; "xla" forces the XLA
+    # path (the correctness oracle); "pallas" asserts the kernels are
+    # usable.
+    kernel_backend: str = "auto"
 
     # ------------------------------------------------------------------
 

@@ -37,12 +37,34 @@ from ..ops.project import project_3d
 from ..state import FluidState
 
 
+def _pallas_usable(cfg: SimConfig) -> bool:
+    """Static decision (at trace time) whether the Pallas kernels apply."""
+    if cfg.kernel_backend == "xla":
+        return False
+    from ..pallas.jacobi import pallas_supported
+
+    ok = (
+        pallas_supported()
+        and cfg.current_size % 128 == 0
+        and cfg.dtype == "float32"
+        and cfg.advect_window > 0
+    )
+    if cfg.kernel_backend == "pallas" and not ok:
+        raise RuntimeError(
+            "kernel_backend='pallas' but the Pallas kernels are not usable "
+            "here (need a TPU backend, 128-aligned grid, float32, and "
+            "advect_window > 0)"
+        )
+    return ok
+
+
 def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
     dt, diff, visc = cfg.effective_params()
     # Static no-obstacle specialization: passing None removes every
     # obstacle branch from the compiled program.
     obst = state.obstacles if cfg.enable_obstacle else None
     win = cfg.advect_window
+    use_pallas = _pallas_usable(cfg)
     vel = state.velocity
     density = state.density
 
@@ -61,18 +83,30 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
         )
 
     if cfg.double_project:
-        vel, _ = project_3d(vel, obst, cfg.jacobi_iters)
+        vel, _ = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
     # -- self-advection (one shared backtrace for all three components) --
-    vel = advect_multi_3d((1, 2, 3), vel, vel, dt, obst, window=win)
+    if use_pallas:
+        from ..pallas.advect import advect_multi_3d_pallas
+
+        vel = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, obst,
+                                     window=win)
+    else:
+        vel = advect_multi_3d((1, 2, 3), vel, vel, dt, obst, window=win)
 
     # -- pressure projection --------------------------------------------
-    vel, pressure = project_3d(vel, obst, cfg.jacobi_iters)
+    vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
     # -- density transport ----------------------------------------------
     if diff > 0.0:
         density = diffuse_3d(0, density, diff, dt, obst, cfg)
-    density = advect_3d(0, density, vel, dt, obst, window=win)
+    if use_pallas:
+        from ..pallas.advect import advect_multi_3d_pallas
+
+        density = advect_multi_3d_pallas((0,), density[None], vel, dt, obst,
+                                         window=win)[0]
+    else:
+        density = advect_3d(0, density, vel, dt, obst, window=win)
 
     # -- obstacles ------------------------------------------------------
     if cfg.enable_obstacle:

@@ -57,13 +57,14 @@ def project_2d(vel_x, vel_y, obst, iters: int = 20):
     return vel_x, vel_y, p
 
 
-def project_3d(vel, obst=None, iters: int = 20):
+def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False):
     """3D projection on a ``[z, y, x]`` grid; ``vel`` is ``(3, N, N, N)``.
 
     Same structure as 2D with the 6-neighbor divergence and ``c = 6`` —
     the coefficient the reference uses is exactly right here.
     ``obst=None`` statically removes the obstacle branches.
-    Returns (vel, p).
+    ``use_pallas`` routes the pressure solve through the VMEM-blocked
+    Pallas kernel (requires ``obst is None``).  Returns (vel, p).
     """
     n = vel.shape[-1]
     nf = jnp.asarray(n, vel.dtype)
@@ -83,7 +84,12 @@ def project_3d(vel, obst=None, iters: int = 20):
     div = set_bnd_3d(0, div, obst)
     p = set_bnd_3d(0, jnp.zeros_like(vx), obst)
 
-    p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
+    if use_pallas and obst is None:
+        from ..pallas.jacobi import jacobi_3d_pallas
+
+        p = jacobi_3d_pallas(0, p, div, a=1.0, c=6.0, iters=iters)
+    else:
+        p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
 
     gx = 0.5 * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) * nf
     gy = 0.5 * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) * nf

@@ -1,0 +1,219 @@
+"""VMEM-resident temporally-blocked Jacobi sweep (Pallas TPU kernel).
+
+The XLA path (ops/linsolve.jacobi_3d) streams the full grid through HBM
+every iteration: 60 iterations ≈ 60×(read+write) of the whole volume.
+This kernel is **communication-avoiding**: each grid program DMAs a z-slab
+of ``S`` planes plus a ``T``-plane halo into VMEM, runs ``T`` Jacobi
+iterations entirely on-chip, and writes the slab back — HBM traffic drops
+by ~T× (one pass per T iterations instead of T).
+
+Numerics match ``ops.linsolve.jacobi_3d`` (no-obstacle path) exactly:
+
+* interior: ``x ← (x0 + a·Σ₆ x) / c``;
+* wall faces follow ``set_bnd_3d``: each face copies (or negates, for the
+  velocity component normal to the wall) the adjacent interior plane after
+  every sweep.  Inside the kernel this is implemented as *corrected
+  neighbor reads* — an interior cell next to a face reads ``s·itself``
+  (s = ±1) instead of the stale face cell, which is algebraically
+  identical to materializing the face copy each iteration; the faces are
+  materialized once at the end (host-side ``set_bnd_3d``).
+
+Validity argument for the halo: after t in-VMEM iterations, only planes
+≥ t away from the slab window's edge are correct, shrinking by one per
+iteration — except at *global* z boundaries, where the stencil is closed
+by the face rule and nothing outside the window is needed.  Writing back
+``S`` planes after ``T`` iterations therefore requires the window to
+extend ``T`` planes past the slab on each non-boundary side, which the
+clamped window ``[clip(z0−T, 0, N−P), +P)`` provides.
+
+Grid sweep order is sequential on a TPU core, so one ``pallas_call``
+performs T iterations globally; ``n_iters`` chains ⌈n/T⌉ calls,
+ping-ponging two HBM buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas requires a TPU-capable jaxlib; import lazily-safe
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def pallas_supported() -> bool:
+    """Pallas TPU kernels need a real TPU backend (tests run CPU/XLA)."""
+    if not _PALLAS_OK:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _signs(b: int):
+    """(sz, sy, sx) face mirror signs for boundary code b (set_bnd_3d)."""
+    return (
+        -1.0 if b == 3 else 1.0,
+        -1.0 if b == 2 else 1.0,
+        -1.0 if b == 1 else 1.0,
+    )
+
+
+def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
+                   *, n: int, slab: int, halo: int, t_iters: int,
+                   a: float, inv_c: float, b: int):
+    i = pl.program_id(0)
+    p = slab + 2 * halo
+    z0 = i * slab
+    start = jnp.clip(z0 - halo, 0, n - p)
+    off = z0 - start  # slab offset inside the window
+
+    in_dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, p)], buf0, sems.at[0]
+    )
+    x0_dma = pltpu.make_async_copy(
+        x0_hbm.at[pl.ds(start, p)], x0s, sems.at[1]
+    )
+    in_dma.start()
+    x0_dma.start()
+    in_dma.wait()
+    x0_dma.wait()
+
+    sz, sy, sx = _signs(b)
+    az = jnp.asarray(a, jnp.float32)
+    ic = jnp.asarray(inv_c, jnp.float32)
+
+    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2)
+
+    def roll(v, shift, axis):
+        # pltpu.roll wants non-negative shifts; rotating by −1 along an
+        # axis of size m equals rotating by m−1.
+        m = v.shape[axis]
+        return pltpu.roll(v, shift % m, axis)
+
+    def sweep(src_ref, dst_ref):
+        v = src_ref[:]
+        # x-direction neighbors (lane rolls), with face-corrected reads:
+        # the interior cell at x=1 reads the x=0 face, whose set_bnd value
+        # is sx·(itself); same at x=n−2.
+        right = jnp.where(xg == n - 2, sx * v, roll(v, -1, 2))
+        left = jnp.where(xg == 1, sx * v, roll(v, 1, 2))
+        # y-direction (sublane rolls)
+        up = jnp.where(yg == n - 2, sy * v, roll(v, -1, 1))
+        down = jnp.where(yg == 1, sy * v, roll(v, 1, 1))
+        # z-direction (plane rolls inside the window); global faces closed
+        # by the corrected read, window edges are in the discard margin.
+        above = jnp.where(zg == n - 2, sz * v, roll(v, -1, 0))
+        below = jnp.where(zg == 1, sz * v, roll(v, 1, 0))
+
+        nbr = ((right + left) + (up + down)) + (above + below)
+        dst_ref[:] = (x0s[:] + az * nbr) * ic
+
+    for t in range(t_iters):
+        src, dst = (buf0, buf1) if t % 2 == 0 else (buf1, buf0)
+        sweep(src, dst)
+
+    final = buf1 if t_iters % 2 == 1 else buf0
+    out_dma = pltpu.make_async_copy(
+        final.at[pl.ds(off, slab)], out_hbm.at[pl.ds(z0, slab)], sems.at[2]
+    )
+    out_dma.start()
+    out_dma.wait()
+
+
+def _pick_block(n: int, t_iters: int):
+    """Choose (slab, halo) fitting 3 windows of (slab+2·halo) planes in
+    ~12 MB of VMEM."""
+    plane_bytes = n * n * 4
+    budget = 12 * 1024 * 1024
+    halo = t_iters
+    for slab in (64, 32, 16, 8):
+        if n % slab:
+            continue
+        window = slab + 2 * halo
+        if 3 * window * plane_bytes <= budget and window <= n:
+            return slab, halo
+    return None
+
+
+def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
+                     block_iters: int = 10, interpret: bool = False):
+    """Drop-in (no-obstacle) replacement for ``ops.linsolve.jacobi_3d``.
+
+    Runs ⌈iters/block_iters⌉ temporally-blocked passes, then applies the
+    final ``set_bnd_3d`` face materialization (the in-kernel corrected
+    reads keep faces implicit).  ``interpret=True`` runs the kernel in the
+    Pallas interpreter (CPU tests).
+
+    Input contract: wall faces must be set_bnd-consistent (every solver
+    call site guarantees this); the input is normalized regardless.
+    """
+    from ..ops.boundary import set_bnd_3d
+
+    n = x.shape[-1]
+    assert x.shape == (n, n, n) and x0.shape == (n, n, n)
+
+    picked = _pick_block(n, block_iters)
+    if picked is None:  # grid too small/odd for blocking — XLA fallback
+        from ..ops.linsolve import jacobi_3d
+
+        return jacobi_3d(b, x, x0, a, c, None, iters)
+
+    # Precondition: the corrected neighbor reads assume the input's wall
+    # faces already satisfy set_bnd (face = s·adjacent interior).  Every
+    # solver call site guarantees this (fields end each op with set_bnd);
+    # normalize anyway so standalone use matches ops.linsolve.jacobi_3d on
+    # consistent inputs.
+    x = set_bnd_3d(b, x, None)
+    slab, halo = picked
+    p = slab + 2 * halo
+    inv_c = float(np.float32(1.0) / np.float32(c))
+
+    n_passes = math.ceil(iters / block_iters)
+    grid = (n // slab,)
+
+    def one_pass(x, t_iters):
+        kernel = functools.partial(
+            _jacobi_kernel, n=n, slab=slab, halo=halo, t_iters=t_iters,
+            a=float(np.float32(a)), inv_c=inv_c, b=b,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((n, n, n), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((p, n, n), jnp.float32),
+                pltpu.VMEM((p, n, n), jnp.float32),
+                pltpu.VMEM((p, n, n), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(x, x0)
+
+    remaining = iters
+    while remaining > 0:
+        t = min(block_iters, remaining)
+        x = one_pass(x, t)
+        remaining -= t
+
+    # Materialize wall faces once (iterations used corrected reads).
+    return set_bnd_3d(b, x, None)

@@ -1,0 +1,77 @@
+"""Pallas kernel semantics tests (interpreter mode — CPU).
+
+Validates the VMEM-blocked kernels against the XLA oracle ops; the real
+compiled path runs in bench.py on the TPU chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsim_tpu.ops.advect import advect_multi_3d
+from fluidsim_tpu.ops.boundary import set_bnd_3d
+from fluidsim_tpu.ops.linsolve import jacobi_3d
+from fluidsim_tpu.pallas.advect import advect_multi_3d_pallas
+from fluidsim_tpu.pallas.jacobi import jacobi_3d_pallas
+
+
+N = 16  # small: interpreter is slow; blocking picks slab=8, halo=T
+
+
+def consistent(b, key, shape=(N, N, N), scale=1.0):
+    x = jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32) * scale
+    return set_bnd_3d(b, x, None)
+
+
+@pytest.mark.parametrize("b", [0, 1, 2, 3])
+@pytest.mark.parametrize("iters,block", [(2, 2), (5, 2), (8, 4)])
+def test_jacobi_pallas_matches_xla(b, iters, block):
+    x = consistent(b, 0)
+    x0 = consistent(b, 1)
+    ref = jacobi_3d(b, x, x0, 1.0, 6.0, None, iters)
+    got = jacobi_3d_pallas(b, x, x0, 1.0, 6.0, iters, block_iters=block,
+                           interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_jacobi_pallas_diffusion_coeffs():
+    a = np.float32(0.13)
+    c = np.float32(1 + 6 * 0.13)
+    x = consistent(0, 3)
+    x0 = consistent(0, 4)
+    ref = jacobi_3d(0, x, x0, float(a), float(c), None, 6)
+    got = jacobi_3d_pallas(0, x, x0, float(a), float(c), 6, block_iters=2,
+                           interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_advect_pallas_matches_xla():
+    fields = jnp.stack([consistent(b, 10 + b, scale=2.0) for b in (1, 2, 3)])
+    vel = jnp.stack([consistent(b, 20 + b, scale=0.4) for b in (1, 2, 3)])
+    dt = 0.02
+    ref = advect_multi_3d((1, 2, 3), fields, vel, dt, None, window=2)
+    got = advect_multi_3d_pallas((1, 2, 3), fields, vel, dt, None, window=2,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_advect_pallas_single_field_with_obstacles():
+    d = consistent(0, 30, scale=3.0)[None]
+    vel = jnp.stack([consistent(b, 40 + b, scale=0.3) for b in (1, 2, 3)])
+    obst = np.zeros((N, N, N), bool)
+    obst[6:9, 6:9, 6:9] = True
+    obst = jnp.asarray(obst)
+    ref = advect_multi_3d((0,), d, vel, 0.02, obst, window=2)
+    got = advect_multi_3d_pallas((0,), d, vel, 0.02, obst, window=2,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
