@@ -97,9 +97,18 @@ def cmd_render(args):
         frame = _render(eng)
         frames.append(frame)
         _write_frame(frame, os.path.join(args.outdir, f"frame_{i:05d}"))
+    html = None
+    if args.html:
+        from .render.viewer import export_html
+
+        html = export_html(
+            frames, os.path.join(args.outdir, "index.html"),
+            title=f"{args.preset} ({eng.cfg.current_size}^{eng.cfg.ndim})",
+        )
     print(json.dumps({
         "frames": len(frames),
         "outdir": args.outdir,
+        "html": html,
         "shape": list(frames[-1].shape) if frames else None,
     }))
 
@@ -200,6 +209,8 @@ def main(argv=None):
     common(sp, steps=100)
     sp.add_argument("--outdir", "-o", default="frames")
     sp.add_argument("--render-every", type=int, default=5)
+    sp.add_argument("--html", action="store_true",
+                    help="write a standalone HTML player (index.html)")
     sp.add_argument("--db", default=None)
     sp.add_argument("--nan-guard", action="store_true")
     sp.set_defaults(fn=cmd_render)

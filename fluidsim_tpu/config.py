@@ -141,6 +141,11 @@ class SimConfig:
 
     # -- numerics (new; the reference is float32-only) ------------------
     dtype: str = "float32"
+    # Pressure solver for the 3D engine: "jacobi" = the reference-family
+    # iterative solve (cfg.jacobi_iters sweeps); "fft" = exact spectral
+    # projection (ops/fft_poisson.py) — obstacle-free closed-box scenes
+    # only, removes divergence to machine precision in one shot.
+    pressure_solver: str = "jacobi"
     # Hot-kernel backend for the 3D solver: "auto" uses the Pallas
     # VMEM-blocked kernels (pallas/) on a real TPU when the grid is
     # compatible (N lane-aligned, no obstacles for the Jacobi kernel) and

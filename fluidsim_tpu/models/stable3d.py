@@ -95,7 +95,14 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
         vel = advect_multi_3d((1, 2, 3), vel, vel, dt, obst, window=win)
 
     # -- pressure projection --------------------------------------------
-    vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
+    if cfg.pressure_solver == "fft":
+        if cfg.enable_obstacle:
+            raise ValueError("pressure_solver='fft' requires no obstacles")
+        from ..ops.fft_poisson import project_3d_fft
+
+        vel, pressure = project_3d_fft(vel)
+    else:
+        vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
     # -- density transport ----------------------------------------------
     if diff > 0.0:
@@ -107,6 +114,12 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
                                          window=win)[0]
     else:
         density = advect_3d(0, density, vel, dt, obst, window=win)
+
+    # -- turbulence forcing (FluidSim.cs:561-564 analog) ----------------
+    if cfg.apply_turbulent_noise:
+        from ..ops.forces import apply_turbulent_noise_3d
+
+        vel = apply_turbulent_noise_3d(vel)
 
     # -- obstacles ------------------------------------------------------
     if cfg.enable_obstacle:

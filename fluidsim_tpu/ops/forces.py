@@ -219,3 +219,76 @@ def enforce_obstacle_boundaries_3d(vel, obst, cell_size: float,
             factor = jnp.where(mask, factor, 1.0)
             vel = vel * factor[None]
     return vel
+
+
+def perlin_3d(x, y, z):
+    """Classic 3D Perlin gradient noise, output ≈ [0, 1]."""
+    perm = jnp.asarray(_PERM)
+    g3 = jnp.asarray(_GRADS3)
+
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    zi = jnp.floor(z).astype(jnp.int32)
+    xf = x - xi.astype(x.dtype)
+    yf = y - yi.astype(y.dtype)
+    zf = z - zi.astype(z.dtype)
+    xi &= 255
+    yi &= 255
+    zi &= 255
+
+    def grad_dot(ix, iy, iz, dx, dy, dz):
+        h = perm[perm[perm[ix] + iy] + iz] % 12
+        g = g3[h]
+        return g[..., 0] * dx + g[..., 1] * dy + g[..., 2] * dz
+
+    u, v, w = _fade(xf), _fade(yf), _fade(zf)
+
+    def lerp(a, b, t):
+        return a + t * (b - a)
+
+    n000 = grad_dot(xi, yi, zi, xf, yf, zf)
+    n100 = grad_dot(xi + 1, yi, zi, xf - 1, yf, zf)
+    n010 = grad_dot(xi, yi + 1, zi, xf, yf - 1, zf)
+    n110 = grad_dot(xi + 1, yi + 1, zi, xf - 1, yf - 1, zf)
+    n001 = grad_dot(xi, yi, zi + 1, xf, yf, zf - 1)
+    n101 = grad_dot(xi + 1, yi, zi + 1, xf - 1, yf, zf - 1)
+    n011 = grad_dot(xi, yi + 1, zi + 1, xf, yf - 1, zf - 1)
+    n111 = grad_dot(xi + 1, yi + 1, zi + 1, xf - 1, yf - 1, zf - 1)
+
+    nx00 = lerp(n000, n100, u)
+    nx10 = lerp(n010, n110, u)
+    nx01 = lerp(n001, n101, u)
+    nx11 = lerp(n011, n111, u)
+    nxy0 = lerp(nx00, nx10, v)
+    nxy1 = lerp(nx01, nx11, v)
+    return 0.5 * (lerp(nxy0, nxy1, w) + 1.0)
+
+
+_GRADS3 = np.array(
+    [[1, 1, 0], [-1, 1, 0], [1, -1, 0], [-1, -1, 0],
+     [1, 0, 1], [-1, 0, 1], [1, 0, -1], [-1, 0, -1],
+     [0, 1, 1], [0, -1, 1], [0, 1, -1], [0, -1, -1]],
+    dtype=np.float32,
+)
+
+
+def apply_turbulent_noise_3d(vel, noise_scale: float = 0.1,
+                             frequency: float = 0.05):
+    """3D generalization of FluidSim.cs:675-701: perturb each velocity
+    component with Perlin noise scaled by the local speed."""
+    n = vel.shape[-1]
+    kk, jj, ii = jnp.meshgrid(
+        jnp.arange(n, dtype=vel.dtype),
+        jnp.arange(n, dtype=vel.dtype),
+        jnp.arange(n, dtype=vel.dtype),
+        indexing="ij",
+    )
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+    strength = noise_scale * speed
+    f = frequency
+    nx = perlin_3d(ii * f, jj * f, kk * f) - 0.5
+    ny = perlin_3d(jj * f, kk * f, ii * f) - 0.5
+    nz = perlin_3d(kk * f, ii * f, jj * f) - 0.5
+    interior = interior_mask(speed.shape)
+    delta = jnp.stack([nx, ny, nz]) * strength[None]
+    return jnp.where(interior[None], vel + delta, vel)

@@ -81,3 +81,29 @@ def test_cli_save_config(tmp_path, capsys):
     res = json.loads(lines[-1])
     assert os.path.exists(out)
     assert res["run_id"] > 0  # scene_a's dt=0.0025 passes the 0.1-guard
+
+
+def test_cli_render_html(tmp_path, capsys):
+    out = str(tmp_path / "web")
+    lines = run_cli(capsys, "render", "--preset", "smoke32", "--steps", "4",
+                    "--render-every", "2", "-o", out, "--html")
+    res = json.loads(lines[-1])
+    assert res["html"] and os.path.exists(res["html"])
+    html = open(res["html"]).read()
+    assert "data:image/png;base64," in html
+    assert "canvas" in html
+
+
+def test_png_writer_fallback(tmp_path):
+    """The dependency-free PNG encoder produces a decodable file."""
+    import numpy as np
+    from fluidsim_tpu.render.viewer import _encode_png
+
+    img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    data = _encode_png(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    from PIL import Image
+    import io
+
+    back = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(back, img)

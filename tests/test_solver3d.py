@@ -145,3 +145,54 @@ def test_vorticity_confinement_preserves_shape_and_scale():
     # small dt·ε perturbation: bounded relative change
     delta = float(jnp.abs(out - vel).max())
     assert 0.0 < delta < 1.0
+
+
+def test_fft_projection_exact():
+    """pressure_solver='fft' removes central-difference divergence to
+    machine precision (ops/fft_poisson.py)."""
+    from fluidsim_tpu.ops.fft_poisson import project_3d_fft
+
+    vel = rand(11, (3, N, N, N), 1.0)
+    for _ in range(4):
+        vel = sum(
+            jnp.roll(vel, s, ax) for ax in (1, 2, 3) for s in (-1, 1)
+        ) / 6.0
+
+    def div_norm(v):
+        d = 0.5 * (
+            (jnp.roll(v[0], -1, 2) - jnp.roll(v[0], 1, 2))
+            + (jnp.roll(v[1], -1, 1) - jnp.roll(v[1], 1, 1))
+            + (jnp.roll(v[2], -1, 0) - jnp.roll(v[2], 1, 0))
+        )
+        return float(jnp.abs(d[2:-2, 2:-2, 2:-2]).mean())
+
+    before = div_norm(vel)
+    out, p = project_3d_fft(vel)
+    assert div_norm(out) < before * 1e-4
+    assert p.shape == (N, N, N)
+
+
+def test_fft_pressure_solver_in_step():
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.engine import Engine
+
+    cfg = fs.get_preset("smoke32").replace(
+        pressure_solver="fft", advect_window=2
+    )
+    eng = Engine(cfg, nan_guard=True)
+    eng.step(5)
+    assert float(eng.state.density.sum()) > 0
+
+
+def test_turbulence_3d():
+    from fluidsim_tpu.ops.forces import apply_turbulent_noise_3d
+
+    vel = rand(12, (3, N, N, N), 1.0)
+    out = apply_turbulent_noise_3d(vel)
+    assert out.shape == vel.shape
+    delta = np.asarray(jnp.abs(out - vel))
+    interior = delta[:, 1:-1, 1:-1, 1:-1]
+    assert interior.max() > 0  # perturbed
+    # scaled by |v|: zero velocity → zero perturbation
+    out0 = apply_turbulent_noise_3d(jnp.zeros_like(vel))
+    assert float(jnp.abs(out0).max()) == 0.0
