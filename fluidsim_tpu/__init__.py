@@ -16,3 +16,5 @@ from .config import (
     PRESETS,
 )
 from .state import FluidState, zeros_state
+from .engine import Engine
+from .metrics import MetricsStore

@@ -141,6 +141,11 @@ class SimConfig:
 
     # -- numerics (new; the reference is float32-only) ------------------
     dtype: str = "float32"
+    # 3D advection scheme: "semi_lagrangian" (the reference's first-order
+    # scheme) or "maccormack" (second-order BFECC-style with a
+    # monotonicity limiter — less numerical diffusion, no reference
+    # counterpart).
+    advection_scheme: str = "semi_lagrangian"
     # Pressure solver for the 3D engine: "jacobi" = the reference-family
     # iterative solve (cfg.jacobi_iters sweeps); "fft" = exact spectral
     # projection (ops/fft_poisson.py) — obstacle-free closed-box scenes

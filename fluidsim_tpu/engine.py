@@ -41,10 +41,16 @@ class Engine:
     """Host driver for a fluid simulation."""
 
     def __init__(self, cfg: SimConfig, store: Optional[MetricsStore] = None,
-                 nan_guard: bool = False):
+                 nan_guard: bool = False,
+                 crash_snapshot_path: Optional[str] = None):
+        """``crash_snapshot_path``: with ``nan_guard``, dump the last good
+        state there before raising (the elastic-recovery hook SURVEY.md
+        §5.3 suggests — resume with ``Engine.from_checkpoint``)."""
         self.cfg = cfg.validate()
         self.paused = False
         self.nan_guard = nan_guard
+        self.crash_snapshot_path = crash_snapshot_path
+        self._last_good: Optional[FluidState] = None
         self.store = store
         self.run_id = store.save_run_params(cfg) if store else -1
         self._fps = FrameRateTracker()
@@ -135,9 +141,22 @@ class Engine:
         step_now = int(self.state.step)
         if self.nan_guard:
             if bool(jnp.isnan(self.state.density).any()):
+                if self.crash_snapshot_path and self._last_good is not None:
+                    from .io.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        self.crash_snapshot_path, self._last_good, self.cfg
+                    )
                 raise FloatingPointError(
                     f"NaN detected in density at step {step_now}"
+                    + (
+                        f"; last good state saved to {self.crash_snapshot_path}"
+                        if self.crash_snapshot_path and self._last_good is not None
+                        else ""
+                    )
                 )
+            if self.crash_snapshot_path is not None:
+                self._last_good = self.state
         if (
             self.store is not None
             and self.cfg.enable_runtime_logging

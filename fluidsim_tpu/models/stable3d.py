@@ -86,13 +86,25 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
         vel, _ = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
     # -- self-advection (one shared backtrace for all three components) --
-    if use_pallas:
-        from ..pallas.advect import advect_multi_3d_pallas
+    def advect_fields(bs, fields, velocity):
+        if use_pallas:
+            from ..pallas.advect import advect_multi_3d_pallas
 
-        vel = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, obst,
-                                     window=win)
-    else:
-        vel = advect_multi_3d((1, 2, 3), vel, vel, dt, obst, window=win)
+            base = lambda b_, f_, v_, d_: advect_multi_3d_pallas(
+                b_, f_, v_, d_, obst, window=win
+            )
+        else:
+            base = lambda b_, f_, v_, d_: advect_multi_3d(
+                b_, f_, v_, d_, obst, window=win
+            )
+        if cfg.advection_scheme == "maccormack":
+            from ..ops.advect import advect_maccormack_3d
+
+            return advect_maccormack_3d(bs, fields, velocity, dt, obst,
+                                        win, advect_fn=base)
+        return base(bs, fields, velocity, dt)
+
+    vel = advect_fields((1, 2, 3), vel, vel)
 
     # -- pressure projection --------------------------------------------
     if cfg.pressure_solver == "fft":
@@ -107,13 +119,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
     # -- density transport ----------------------------------------------
     if diff > 0.0:
         density = diffuse_3d(0, density, diff, dt, obst, cfg)
-    if use_pallas:
-        from ..pallas.advect import advect_multi_3d_pallas
-
-        density = advect_multi_3d_pallas((0,), density[None], vel, dt, obst,
-                                         window=win)[0]
-    else:
-        density = advect_3d(0, density, vel, dt, obst, window=win)
+    density = advect_fields((0,), density[None], vel)[0]
 
     # -- turbulence forcing (FluidSim.cs:561-564 analog) ----------------
     if cfg.apply_turbulent_noise:

@@ -95,15 +95,16 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
             wzy = wz * hat(fy, dy)
             shifted_zy = tuple(pltpu.roll(f, (-dy) % n, 1) for f in shifted_z)
 
-            def inner(ix, accs):
-                dx = ix - k_win
-                w = wzy * hat(fx, dx)
-                return tuple(
+            # Inner x loop unrolled statically: lane rolls with static
+            # shifts vectorize better than dynamic rotates, and 2K+1
+            # static terms keep program size tame.
+            for dx in range(-k_win, k_win + 1):
+                w = wzy * hat(fx, jnp.int32(dx))
+                accs = tuple(
                     acc + w * pltpu.roll(f, (-dx) % n, 2)
                     for acc, f in zip(accs, shifted_zy)
                 )
-
-            return jax.lax.fori_loop(0, w_sz, inner, accs)
+            return accs
 
         return jax.lax.fori_loop(0, w_sz, mid, accs)
 

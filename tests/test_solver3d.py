@@ -196,3 +196,60 @@ def test_turbulence_3d():
     # scaled by |v|: zero velocity → zero perturbation
     out0 = apply_turbulent_noise_3d(jnp.zeros_like(vel))
     assert float(jnp.abs(out0).max()) == 0.0
+
+
+def test_maccormack_advection():
+    """MacCormack reduces numerical diffusion vs plain semi-Lagrangian
+    when transporting a sharp blob through a uniform flow."""
+    from fluidsim_tpu.ops.advect import advect_maccormack_3d, advect_multi_3d
+
+    n = 32
+    d = np.zeros((n, n, n), np.float32)
+    d[12:20, 12:20, 12:20] = 1.0
+    d = jnp.asarray(d)[None]
+    vel = jnp.ones((3, n, n, n), jnp.float32) * 0.11  # ~0.33 cell/step
+    dt = 0.1
+
+    sl = d
+    mc = d
+    for _ in range(6):
+        sl = advect_multi_3d((0,), sl, vel, dt, None, window=2)
+        mc = advect_maccormack_3d((0,), mc, vel, dt, None, window=2)
+    # sharper = more cells remain close to the original extremes
+    sl_sharp = float(jnp.sum((sl > 0.9)))
+    mc_sharp = float(jnp.sum((mc > 0.9)))
+    assert mc_sharp > sl_sharp
+    # limiter keeps values within the original range
+    assert float(mc.max()) <= 1.0 + 1e-5
+    assert float(mc.min()) >= -1e-5
+
+
+def test_maccormack_in_step():
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.engine import Engine
+
+    cfg = fs.get_preset("smoke32").replace(
+        advection_scheme="maccormack", advect_window=2
+    )
+    eng = Engine(cfg, nan_guard=True)
+    eng.step(5)
+    assert float(eng.state.density.sum()) > 0
+
+
+def test_crash_snapshot(tmp_path):
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.engine import Engine
+
+    snap = str(tmp_path / "crash.npz")
+    cfg = fs.get_preset("smoke32").replace(advect_window=2)
+    eng = Engine(cfg, nan_guard=True, crash_snapshot_path=snap)
+    eng.step(2)
+    good_step = int(eng.state.step)
+    eng.state = eng.state.replace(
+        density=eng.state.density.at[3, 3, 3].set(jnp.nan)
+    )
+    with pytest.raises(FloatingPointError):
+        eng.step(1)
+    eng2 = Engine.from_checkpoint(snap)
+    assert int(eng2.state.step) == good_step
+    assert not bool(jnp.isnan(eng2.state.density).any())
