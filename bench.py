@@ -49,25 +49,37 @@ def main() -> None:
     from fluidsim_tpu.models.stable3d import simulate_step_3d
     from fluidsim_tpu.scene.sources import apply_custom_source
 
+    def build(cfg):
+        state = fs.zeros_state(cfg)
+        dt = np.float32(cfg.effective_params()[0])
+
+        def one(state, _):
+            t = state.time + dt
+            density, velocity = apply_custom_source(
+                state.density, state.velocity, cfg, t
+            )
+            state = state.replace(density=density, velocity=velocity)
+            return simulate_step_3d(state, cfg), None
+
+        @jax.jit
+        def rollout(state):
+            return jax.lax.scan(one, state, None, length=SUBSTEPS)[0]
+
+        return rollout, state
+
     cfg = fs.get_preset("bench128")
-    state = fs.zeros_state(cfg)
-    dt = np.float32(cfg.effective_params()[0])
-
-    def one(state, _):
-        t = state.time + dt
-        density, velocity = apply_custom_source(
-            state.density, state.velocity, cfg, t
-        )
-        state = state.replace(density=density, velocity=velocity)
-        return simulate_step_3d(state, cfg), None
-
-    @jax.jit
-    def rollout(state):
-        return jax.lax.scan(one, state, None, length=SUBSTEPS)[0]
-
-    # Warm-up: compile + one rollout (also seeds non-trivial fields).
-    state = rollout(state)
-    float(state.density.mean())  # sync
+    try:
+        rollout, state = build(cfg)
+        # Warm-up: compile + one rollout (also seeds non-trivial fields).
+        state = rollout(state)
+        float(state.density.mean())  # sync
+    except Exception as exc:  # Pallas/Mosaic compile hiccup → XLA path
+        print(f"# pallas path failed ({type(exc).__name__}); "
+              "falling back to kernel_backend='xla'", file=sys.stderr)
+        cfg = cfg.replace(kernel_backend="xla")
+        rollout, state = build(cfg)
+        state = rollout(state)
+        float(state.density.mean())
 
     best = 0.0
     for _ in range(TRIALS):

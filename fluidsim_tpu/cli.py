@@ -114,8 +114,6 @@ def cmd_render(args):
 
 
 def _render(eng):
-    import jax.numpy as jnp
-
     if eng.cfg.ndim == 3:
         from .render.raymarch import render_frame_3d
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -37,6 +37,23 @@ class ObstacleShape(enum.IntEnum):
     CIRCLE = 0
     RECTANGLE = 1
     AIRFOIL = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceSpec:
+    """One additional continuous emitter (BASELINE config 4 is a
+    multi-emitter scene; the reference supports a single emitter —
+    FluidSim.cs:34-55 — which remains the primary ``source_*`` fields)."""
+
+    position: Tuple[float, ...] = (0.5, 0.5, 0.5)  # normalized
+    strength: float = 100.0
+    radius: float = 1.0
+    emits_velocity: bool = False
+    velocity: float = 10.0
+    direction: float = 0.0                  # degrees, 2D mode
+    velocity_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)  # 3D mode
+    pulsing: bool = False
+    pulse_rate: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +112,8 @@ class SimConfig:
     # 3D-only: unit direction of emitted velocity (the 2D mode uses the
     # reference's source_direction angle, FluidSim.cs:524).
     source_velocity_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    # Additional emitters beyond the reference's single source.
+    extra_sources: Tuple["SourceSpec", ...] = ()
 
     # -- obstacle (FluidSim.cs:96-110) ----------------------------------
     enable_obstacle: bool = True
@@ -353,10 +372,17 @@ def preset_multi_emitter_256() -> SimConfig:
         source_strength=150.0,
         source_radius=10.0,
         source_position=(0.3, 0.1, 0.3),
+        extra_sources=(
+            SourceSpec(position=(0.7, 0.1, 0.7), strength=150.0,
+                       radius=10.0, emits_velocity=True, velocity=8.0,
+                       velocity_dir=(0.0, 1.0, 0.0)),
+            SourceSpec(position=(0.7, 0.12, 0.3), strength=100.0,
+                       radius=8.0, pulsing=True, pulse_rate=2.0),
+        ),
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=20,
-        advect_window=3,
+        advect_window=2,
     ).validate()
 
 

@@ -20,7 +20,6 @@ The engine owns:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

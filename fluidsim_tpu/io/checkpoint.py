@@ -16,10 +16,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +64,8 @@ def config_to_json(cfg: SimConfig) -> str:
 
 
 def config_from_json(s: str) -> SimConfig:
+    from ..config import SourceSpec
+
     d = json.loads(s)
     d["obstacle_shape"] = ObstacleShape(d["obstacle_shape"])
     d["color_mode"] = ColorMode(d["color_mode"])
@@ -73,6 +73,16 @@ def config_from_json(s: str) -> SimConfig:
                 "gradient_times"):
         if key in d:
             d[key] = tuple(d[key])
+    if "extra_sources" in d:
+        d["extra_sources"] = tuple(
+            SourceSpec(
+                **{
+                    k: tuple(v) if isinstance(v, list) else v
+                    for k, v in spec.items()
+                }
+            )
+            for spec in d["extra_sources"]
+        )
     for key in list(d):
         if key.endswith("_color") or key in ("fluid_color", "gradient_colors"):
             v = d[key]

@@ -21,7 +21,6 @@ Reference: ``LogCurrentMetrics``/``CalculateFrameRate``
 
 from __future__ import annotations
 
-import os
 import sqlite3
 import time
 from typing import Optional, Tuple

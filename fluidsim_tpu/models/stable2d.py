@@ -28,8 +28,6 @@ no per-kernel buffer copies (the reference re-allocates and copies
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

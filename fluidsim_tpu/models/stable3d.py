@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ops.advect import advect_3d, advect_multi_3d
+from ..ops.advect import advect_multi_3d
 from ..ops.forces import (
     buoyancy_force,
     enforce_obstacle_boundaries_3d,

@@ -14,6 +14,7 @@ fuses into the step program.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,16 +192,39 @@ def advect_multi_3d(bs, fields, vel, dt: float, obst=None, window: int = 0):
         fy = frac_disp(vel[1], jj)
         fz = frac_disp(vel[2], kk)
 
-        out = jnp.zeros_like(fields)
-        for dz in range(-window, window + 1):
-            wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - dz))
-            for dy in range(-window, window + 1):
-                wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(fy - dy))
-                for dx in range(-window, window + 1):
-                    w = wzy * jnp.maximum(0.0, 1.0 - jnp.abs(fx - dx))
-                    shifted = jnp.roll(fields, (-dz, -dy, -dx), (1, 2, 3))
-                    out = out + w[None] * shifted
-        vals = out
+        if n >= 192:
+            # Large grids: a statically unrolled (2K+1)³ sum produces an
+            # HLO big enough to crash/time out the XLA TPU compiler at
+            # 256³+.  Loop over the window with traced shifts instead —
+            # O(1) program size, same math.
+            w_sz = 2 * window + 1
+
+            def term(idx, acc):
+                dz = idx // (w_sz * w_sz) - window
+                dy = (idx // w_sz) % w_sz - window
+                dx = idx % w_sz - window
+                w = (
+                    jnp.maximum(0.0, 1.0 - jnp.abs(fz - dz))
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(fy - dy))
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(fx - dx))
+                )
+                shifted = jnp.roll(fields, (-dz, -dy, -dx), (1, 2, 3))
+                return acc + w[None] * shifted
+
+            vals = jax.lax.fori_loop(
+                0, w_sz ** 3, term, jnp.zeros_like(fields)
+            )
+        else:
+            out = jnp.zeros_like(fields)
+            for dz in range(-window, window + 1):
+                wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - dz))
+                for dy in range(-window, window + 1):
+                    wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(fy - dy))
+                    for dx in range(-window, window + 1):
+                        w = wzy * jnp.maximum(0.0, 1.0 - jnp.abs(fx - dx))
+                        shifted = jnp.roll(fields, (-dz, -dy, -dx), (1, 2, 3))
+                        out = out + w[None] * shifted
+            vals = out
     else:
         i0, s1 = _backtrace_1d(ii, vel[0], dt0, n)
         j0, t1 = _backtrace_1d(jj, vel[1], dt0, n)

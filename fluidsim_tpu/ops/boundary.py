@@ -26,8 +26,6 @@ value; the obstacle mirror extends to the z pair for ``b==3``.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 import numpy as np
 

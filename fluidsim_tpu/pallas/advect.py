@@ -18,7 +18,6 @@ matching the reference's advect semantics (FluidSim.cs:1125-1186).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..ops.boundary import _mirror_obstacles_axis
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def halo_exchange_z(x_local, axis_name: str = "z"):

@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ColorMode, SimConfig
-from .colormap import evaluate_gradient
+from ..config import SimConfig
 
 
 def raymarch_density(density, obstacles=None, *, axis: int = 0,

@@ -14,7 +14,7 @@ import base64
 import io
 import json
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -60,3 +60,20 @@ def mouse_drag_force(prev_pos: Tuple[float, ...], cur_pos: Tuple[float, ...],
     scaled = np.float32(mag) ** np.float32(1.5) * np.float32(0.8)
     radius = float(np.clip(mag * 0.5, 2.0, 10.0))
     return cur_pos, tuple(float(d * scaled) for d in direction), radius
+
+
+def screen_to_grid(screen_pos, viewport_min, viewport_max, grid_size: int):
+    """Screen/world position → grid coordinates.
+
+    The reference maps the mouse through the camera ray and the render
+    quad's world-space corner bounds (``GetMousePositionInGrid``,
+    FluidSim.cs:535-549): ``normalized = (world − min)/(max − min)``,
+    ``grid = normalized · N``.  Here the caller supplies the viewport
+    bounds (there is no camera); any windowing layer can drive the
+    interaction API with this mapping.
+    """
+    p = np.asarray(screen_pos, np.float32)
+    lo = np.asarray(viewport_min, np.float32)
+    hi = np.asarray(viewport_max, np.float32)
+    normalized = (p - lo) / (hi - lo)
+    return tuple(float(v) for v in normalized * np.float32(grid_size))

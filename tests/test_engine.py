@@ -155,3 +155,40 @@ def test_nan_guard():
     )
     with pytest.raises(FloatingPointError):
         eng.step(1)
+
+
+def test_multi_emitter():
+    """extra_sources adds independent emitters (BASELINE config 4)."""
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.config import SourceSpec
+
+    cfg = fs.get_preset("smoke32").replace(
+        source_position=(0.25, 0.2, 0.25),
+        source_radius=2.0,
+        extra_sources=(
+            SourceSpec(position=(0.75, 0.2, 0.75), strength=200.0,
+                       radius=2.0),
+        ),
+    )
+    eng = Engine(cfg)
+    eng.step(2)
+    dens = np.asarray(eng.state.density)
+    n = cfg.current_size
+    # mass deposited around both emitters
+    q1 = dens[:, : n // 2, : n // 2].sum()   # [z, y, x]: first emitter x<16,z<16
+    left = dens[: n // 2, :, : n // 2].sum()
+    right = dens[n // 2 :, :, n // 2 :].sum()
+    assert left > 0 and right > 0
+    assert right > left  # stronger second emitter
+
+
+def test_multi_emitter_config_roundtrip(tmp_path):
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.config import SourceSpec
+    from fluidsim_tpu.io.checkpoint import load_config, save_config
+
+    cfg = fs.get_preset("multi256").replace(size=32)
+    assert len(cfg.extra_sources) == 2
+    p = str(tmp_path / "c.json")
+    save_config(p, cfg)
+    assert load_config(p) == cfg
