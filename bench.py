@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-SUBSTEPS = 10
+SUBSTEPS = 20
 TRIALS = 3
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 

@@ -37,12 +37,17 @@ def halo_exchange_z(x_local, axis_name: str = "z"):
     return below, above
 
 
-def _local_sweep(x_local, x0_local, below, above, a, c, rank, n_dev):
+def _local_sweep(b, x_local, x0_local, below, above, a, c, rank, n_dev):
     """One Jacobi update on a z-slab given neighbor halo planes.
 
     Wall faces (global z=0/N−1, all y/x walls) are rewritten from interior
-    values exactly like the single-device ``set_bnd_3d`` face pass.
+    values exactly like the single-device ``set_bnd_3d`` face pass, with
+    the mirror-negate sign for the velocity component normal to each wall
+    (``b``: 0 scalar, 1 = vx, 2 = vy, 3 = vz).
     """
+    sz = -1.0 if b == 3 else 1.0
+    sy = -1.0 if b == 2 else 1.0
+    sx = -1.0 if b == 1 else 1.0
     lz = x_local.shape[0]
     xp = jnp.concatenate([below, x_local, above], axis=0)  # (lz+2, N, N)
 
@@ -55,41 +60,42 @@ def _local_sweep(x_local, x0_local, below, above, a, c, rank, n_dev):
     out = jax.lax.pad(upd, jnp.asarray(0.0, x_local.dtype),
                       [(0, 0, 0), (1, 1, 0), (1, 1, 0)])
 
-    # Wall faces in the exact set_bnd_3d order (z → y → x; b=0 copy).
+    # Wall faces in the exact set_bnd_3d order (z → y → x).
     # Global z faces exist only on the first/last shard.
     is_bottom = rank == 0
     is_top = rank == n_dev - 1
     zidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
-    zlow = jnp.concatenate([out[1:2], out[2:], out[-1:]], axis=0)
-    zhigh = jnp.concatenate([out[:1], out[:-2], out[-2:-1]], axis=0)
+    zlow = sz * jnp.concatenate([out[1:2], out[2:], out[-1:]], axis=0)
+    zhigh = sz * jnp.concatenate([out[:1], out[:-2], out[-2:-1]], axis=0)
     out = jnp.where(jnp.logical_and(is_bottom, zidx == 0), zlow, out)
     out = jnp.where(jnp.logical_and(is_top, zidx == lz - 1), zhigh, out)
 
     n = out.shape[1]
     yidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
-    ylow = jnp.concatenate([out[:, 1:2], out[:, 2:], out[:, -1:]], axis=1)
-    yhigh = jnp.concatenate([out[:, :1], out[:, :-2], out[:, -2:-1]], axis=1)
+    ylow = sy * jnp.concatenate([out[:, 1:2], out[:, 2:], out[:, -1:]],
+                                axis=1)
+    yhigh = sy * jnp.concatenate([out[:, :1], out[:, :-2], out[:, -2:-1]],
+                                 axis=1)
     out = jnp.where(yidx == 0, ylow,
                     jnp.where(yidx == n - 1, yhigh, out))
     xidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 2)
-    xlow = jnp.concatenate([out[:, :, 1:2], out[:, :, 2:], out[:, :, -1:]],
-                           axis=2)
-    xhigh = jnp.concatenate([out[:, :, :1], out[:, :, :-2], out[:, :, -2:-1]],
-                            axis=2)
+    xlow = sx * jnp.concatenate([out[:, :, 1:2], out[:, :, 2:],
+                                 out[:, :, -1:]], axis=2)
+    xhigh = sx * jnp.concatenate([out[:, :, :1], out[:, :, :-2],
+                                  out[:, :, -2:-1]], axis=2)
     out = jnp.where(xidx == 0, xlow,
                     jnp.where(xidx == n - 1, xhigh, out))
     return out
 
 
 def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
-                      mesh: Mesh, axis_name: str = "z"):
+                      mesh: Mesh, axis_name: str = "z", b: int = 0):
     """Slab-sharded fixed-rhs Jacobi with explicit per-iteration halo
     exchange.  ``x``/``x0`` are global ``[z, y, x]`` arrays (sharded or
-    not); result matches the no-obstacle single-device ``jacobi_3d`` up to
-    face-ordering at the z boundary planes.
+    not); result matches the no-obstacle single-device ``jacobi_3d``.
 
-    Scalar-field path (``b = 0``); the velocity variants follow the same
-    structure with sign flips at their wall faces.
+    ``b`` selects the wall rule exactly as in ``set_bnd_3d`` (0 scalar,
+    1/2/3 = velocity component normal to the x/y/z walls).
     """
     spec = P(axis_name, None, None)
 
@@ -103,7 +109,8 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
 
         def body(_, xl):
             below, above = halo_exchange_z(xl, axis_name)
-            return _local_sweep(xl, x0_local, below, above, a, c, rank, n_dev)
+            return _local_sweep(b, xl, x0_local, below, above, a, c,
+                                rank, n_dev)
 
         return jax.lax.fori_loop(0, iters, body, x_local)
 

@@ -31,15 +31,16 @@ def cfg3d(**kw):
     return base.replace(**kw) if kw else base
 
 
-def test_sharded_jacobi_matches_single_device():
+@pytest.mark.parametrize("b", [0, 1, 2, 3])
+def test_sharded_jacobi_matches_single_device(b):
     n = 32
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n, n, n), jnp.float32)
     x0 = jax.random.normal(jax.random.PRNGKey(1), (n, n, n), jnp.float32)
     mesh = make_mesh(jax.devices()[:8])
 
-    single = jacobi_3d(0, x, x0, 1.0, 6.0, None, iters=20)
-    sharded = jacobi_3d_sharded(x, x0, 1.0, 6.0, 20, mesh)
+    single = jacobi_3d(b, x, x0, 1.0, 6.0, None, iters=20)
+    sharded = jacobi_3d_sharded(x, x0, 1.0, 6.0, 20, mesh, b=b)
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
     )
