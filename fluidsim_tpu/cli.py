@@ -72,17 +72,21 @@ def cmd_bench(args):
     eng = _build_engine(args)
     per = max(args.substeps, 1)
     eng.step(per, substeps_per_dispatch=per)  # compile + warm
-    from .utils.profiling import StepTimer
+    from .utils.profiling import StepTimer, trace_profile
+    import contextlib
 
     timer = StepTimer()
-    done = 0
-    while done < args.steps:
-        with timer:
-            eng.step(per, substeps_per_dispatch=per)
-        done += per
+    ctx = trace_profile(args.profile) if args.profile else contextlib.nullcontext()
+    with ctx:
+        done = 0
+        while done < args.steps:
+            with timer:
+                eng.step(per, substeps_per_dispatch=per)
+            done += per
     print(json.dumps({
         "preset": args.preset,
         "grid": list(eng.cfg.grid_shape),
+        "profile": args.profile,
         **timer.summary(steps_per_sample=per),
     }))
 
@@ -201,6 +205,8 @@ def main(argv=None):
 
     sp = sub.add_parser("bench", help="steady-state steps/sec")
     common(sp)
+    sp.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("render", help="run + write frames")
