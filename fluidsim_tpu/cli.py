@@ -174,6 +174,15 @@ def cmd_save_config(args):
                       "run_id": run_id}))
 
 
+def cmd_serve(args):
+    args.nan_guard = False
+    eng = _build_engine(args)
+    from .render.live import LiveServer
+
+    LiveServer(eng, port=args.port,
+               steps_per_frame=args.steps_per_frame).serve_forever()
+
+
 def cmd_presets(args):
     from .config import PRESETS
 
@@ -224,6 +233,14 @@ def main(argv=None):
     sp.add_argument("--out", "-o", default=None)
     sp.add_argument("--db", default=None)
     sp.set_defaults(fn=cmd_save_config)
+
+    sp = sub.add_parser("serve", help="live interactive viewer (browser)")
+    sp.add_argument("--preset", default="scene_a")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--size", type=int, default=None)
+    sp.add_argument("--port", type=int, default=8800)
+    sp.add_argument("--steps-per-frame", type=int, default=2)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("presets", help="list presets")
     sp.set_defaults(fn=cmd_presets)
