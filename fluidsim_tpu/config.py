@@ -431,7 +431,12 @@ def preset_bench_128() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=60,
-        advect_window=2,
+        # Substepped advection: 2 sub-advections of dt/2 with a 1-cell
+        # window — same 2-cell total displacement bound as one K=2 step,
+        # curved characteristics, and 2·27 hat terms instead of 125
+        # (~30% faster per step, measurably less CFL clamping).
+        advection_scheme="substep",
+        advect_window=1,
     ).validate()
 
 

@@ -101,3 +101,52 @@ def save_config(path: str, cfg: SimConfig) -> None:
 def load_config(path: str) -> SimConfig:
     with open(path) as f:
         return config_from_json(f.read())
+
+
+# -- orbax (optional, for sharded/async checkpoints) --------------------
+
+def save_checkpoint_orbax(path: str, state: FluidState, cfg: SimConfig) -> None:
+    """Orbax-backed snapshot — preserves device sharding layout and scales
+    to multi-host; the .npz path gathers everything to one host first.
+    Requires orbax-checkpoint (baked into the image); config is stored as
+    JSON alongside.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, dict(
+        density=state.density,
+        velocity=state.velocity,
+        pressure=state.pressure,
+        obstacles=state.obstacles,
+        step=state.step,
+        time=state.time,
+    ), force=True)
+    ckptr.wait_until_finished()
+    with open(path + ".config.json", "w") as f:
+        f.write(config_to_json(cfg))
+
+
+def load_checkpoint_orbax(path: str):
+    """Restore an orbax snapshot; returns (FluidState, SimConfig)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(path + ".config.json") as f:
+        cfg = config_from_json(f.read())
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    state = FluidState(
+        density=restored["density"],
+        velocity=restored["velocity"],
+        pressure=restored["pressure"],
+        obstacles=restored["obstacles"],
+        step=restored["step"],
+        time=restored["time"],
+    )
+    return state, cfg

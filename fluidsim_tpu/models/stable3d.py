@@ -102,6 +102,11 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
 
             return advect_maccormack_3d(bs, fields, velocity, dt, obst,
                                         win, advect_fn=base)
+        if cfg.advection_scheme == "substep":
+            from ..ops.advect import advect_substep_3d
+
+            return advect_substep_3d(bs, fields, velocity, dt, obst,
+                                     win, advect_fn=base)
         return base(bs, fields, velocity, dt)
 
     vel = advect_fields((1, 2, 3), vel, vel)

@@ -290,3 +290,27 @@ def advect_maccormack_3d(bs, fields, vel, dt: float, obst=None,
     for c, b in enumerate(bs):
         out.append(_mask_and_bnd_3d(b, limited[c], fields[c], obst))
     return jnp.stack(out)
+
+
+def advect_substep_3d(bs, fields, vel, dt: float, obst=None,
+                      window: int = 1, n_sub: int = 2, advect_fn=None):
+    """Substepped semi-Lagrangian advection (``advection_scheme='substep'``).
+
+    ``n_sub`` sub-advections of ``dt/n_sub`` each, re-interpolating through
+    the *same* velocity field — the composition follows curved
+    characteristics (midpoint-rule flavor) instead of one straight-line
+    backtrace, and each substep's displacement shrinks by ``n_sub``, so a
+    small window (K=1) stays exact for flows whose full-step displacement
+    would need K=n_sub: 2·27 hat terms instead of 5³ = 125 for K=2.
+    Slightly more dissipative per step (one extra interpolation); no
+    reference counterpart.
+    """
+    if advect_fn is None:
+        advect_fn = lambda b_, f_, v_, d_: advect_multi_3d(
+            b_, f_, v_, d_, obst, window
+        )
+    sub_dt = float(np.float32(dt) / np.float32(n_sub))
+    out = fields
+    for _ in range(n_sub):
+        out = advect_fn(bs, out, vel, sub_dt)
+    return out

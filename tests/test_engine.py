@@ -192,3 +192,22 @@ def test_multi_emitter_config_roundtrip(tmp_path):
     p = str(tmp_path / "c.json")
     save_config(p, cfg)
     assert load_config(p) == cfg
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from fluidsim_tpu.io.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    eng = Engine(tiny_cfg())
+    eng.step(3)
+    path = str(tmp_path / "ockpt")
+    save_checkpoint_orbax(path, eng.state, eng.cfg)
+    state, cfg = load_checkpoint_orbax(path)
+    assert cfg == eng.cfg
+    assert int(state.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(state.density), np.asarray(eng.state.density)
+    )

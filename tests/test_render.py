@@ -150,3 +150,22 @@ def test_render_frame_3d_from_engine():
     img = render_frame_3d(eng.state, cfg)
     assert img.shape == (32, 32, 3)
     assert float(jnp.abs(img).sum()) > 0
+
+
+def test_use_lerp_color_cycling():
+    """PingPong color cycling (FluidSim.cs:790-794): the effective fluid
+    color interpolates start→end with t·0.1 ping-ponged in [0,1]."""
+    density = jnp.ones((16, 16), jnp.float32)  # density 1, intensity 1
+    pressure = jnp.zeros((16, 16), jnp.float32)
+    obst = jnp.zeros((16, 16), bool)
+    cfg = cfg2d(size=32, use_lerp=True,
+                start_color=(0.0, 0.0, 0.0, 1.0),
+                end_color=(1.0, 1.0, 1.0, 1.0))
+    # t=0 → cycle = 1-|0-1| = 0 → start color → black frame
+    f0 = np.asarray(render_frame_2d(density, pressure, obst, cfg,
+                                    elapsed_time=0.0))
+    # t·0.1 = 1 → cycle = 1 → end color (white·density=1)
+    f1 = np.asarray(render_frame_2d(density, pressure, obst, cfg,
+                                    elapsed_time=10.0))
+    np.testing.assert_allclose(f0[4, 4, :3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(f1[4, 4, :3], 1.0, atol=1e-6)

@@ -253,3 +253,36 @@ def test_crash_snapshot(tmp_path):
     eng2 = Engine.from_checkpoint(snap)
     assert int(eng2.state.step) == good_step
     assert not bool(jnp.isnan(eng2.state.density).any())
+
+
+def test_substep_advection_matches_single_for_uniform_flow():
+    """For a uniform velocity field the substepped composition equals a
+    single full-dt advection (straight characteristics)."""
+    from fluidsim_tpu.ops.advect import advect_multi_3d, advect_substep_3d
+
+    n = 32
+    d = np.zeros((n, n, n), np.float32)
+    d[10:20, 10:20, 10:20] = 1.0
+    d = jnp.asarray(d)[None]
+    vel = jnp.ones((3, n, n, n), jnp.float32) * 0.15
+    dt = 0.1
+    one = advect_multi_3d((0,), d, vel, dt, None, window=2)
+    sub = advect_substep_3d((0,), d, vel, dt, None, window=1, n_sub=2)
+    # uniform flow: both sample the same displaced box (substepping adds
+    # one interpolation smoothing → small tolerance)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(one),
+                               rtol=0.2, atol=0.08)
+    # mass approximately conserved by both
+    assert abs(float(sub.sum()) - float(one.sum())) / float(one.sum()) < 0.05
+
+
+def test_substep_scheme_in_step():
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.engine import Engine
+
+    cfg = fs.get_preset("smoke32").replace(
+        advection_scheme="substep", advect_window=1
+    )
+    eng = Engine(cfg, nan_guard=True)
+    eng.step(5)
+    assert float(eng.state.density.sum()) > 0
