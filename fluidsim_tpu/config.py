@@ -165,6 +165,8 @@ class SimConfig:
     # monotonicity limiter — less numerical diffusion, no reference
     # counterpart).
     advection_scheme: str = "semi_lagrangian"
+    # Number of sub-advections for advection_scheme="substep".
+    advect_substeps: int = 2
     # Pressure solver for the 3D engine: "jacobi" = the reference-family
     # iterative solve (cfg.jacobi_iters sweeps); "fft" = exact spectral
     # projection (ops/fft_poisson.py) — obstacle-free closed-box scenes

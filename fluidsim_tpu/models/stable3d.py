@@ -90,6 +90,13 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
         if use_pallas:
             from ..pallas.advect import advect_multi_3d_pallas
 
+            if cfg.advection_scheme == "substep" and obst is None:
+                # substeps run entirely inside the kernel (fields stay
+                # in VMEM between sub-advections)
+                return advect_multi_3d_pallas(
+                    bs, fields, velocity, dt, obst, window=win,
+                    n_sub=cfg.advect_substeps,
+                )
             base = lambda b_, f_, v_, d_: advect_multi_3d_pallas(
                 b_, f_, v_, d_, obst, window=win
             )
@@ -106,7 +113,8 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
             from ..ops.advect import advect_substep_3d
 
             return advect_substep_3d(bs, fields, velocity, dt, obst,
-                                     win, advect_fn=base)
+                                     win, advect_fn=base,
+                                     n_sub=cfg.advect_substeps)
         return base(bs, fields, velocity, dt)
 
     vel = advect_fields((1, 2, 3), vel, vel)

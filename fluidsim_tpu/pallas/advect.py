@@ -7,12 +7,20 @@ functions (exact while |displacement| < K; displacement is clamped to K).
 
 The XLA formulation materializes every ``jnp.roll`` through HBM
 (~(2K+1)³ full-array round trips); here each grid program DMAs a z-slab
-(+K halo) of the advected fields and the velocity into VMEM and runs the
+(+halo) of the advected fields and the velocity into VMEM and runs the
 whole accumulation on-chip — ONE HBM pass regardless of K.
 
+``n_sub > 1`` additionally runs the *substepped* scheme
+(ops/advect.advect_substep_3d) entirely in VMEM: n_sub sub-advections of
+``dt/n_sub`` through the same velocity, with the intermediate field's
+``set_bnd`` wall faces materialized on-chip between substeps — the fields
+never return to HBM until the final write-back.  Halo grows to
+``K·n_sub``.  Obstacle masking stays outside the kernel (the caller's
+``_mask_and_bnd_3d``), so in-kernel substepping requires ``obst=None``.
+
 The kernel writes the raw interpolated values; the caller applies the
-fresh-zero-buffer masking + ``set_bnd_3d`` (ops/advect._mask_and_bnd_3d),
-matching the reference's advect semantics (FluidSim.cs:1125-1186).
+fresh-zero-buffer masking + ``set_bnd_3d``, matching the reference's
+advect semantics (FluidSim.cs:1125-1186).
 """
 
 from __future__ import annotations
@@ -36,11 +44,12 @@ except Exception:  # pragma: no cover
 
 def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
                    *, n: int, n_fields: int, slab: int, k_win: int,
-                   dt0: float):
+                   dt0: float, n_sub: int, bs):
     i = pl.program_id(0)
-    p = slab + 2 * k_win
+    halo = k_win * n_sub
+    p = slab + 2 * halo
     z0 = i * slab
-    start = jnp.clip(z0 - k_win, 0, n - p)
+    start = jnp.clip(z0 - halo, 0, n - p)
     off = z0 - start
 
     in_dma = pltpu.make_async_copy(
@@ -54,14 +63,15 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     in_dma.wait()
     vel_dma.wait()
 
-    dt0f = jnp.asarray(dt0, jnp.float32)
+    dt0f = jnp.asarray(dt0 / n_sub, jnp.float32)
     kf = jnp.asarray(k_win, jnp.float32)
 
-    zi = (start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)).astype(
-        jnp.float32
-    )
-    yi = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1).astype(jnp.float32)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2).astype(jnp.float32)
+    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2)
+    zi = zg.astype(jnp.float32)
+    yi = yg.astype(jnp.float32)
+    xi = xg.astype(jnp.float32)
 
     def frac(coord, v):
         t = coord - dt0f * v
@@ -70,49 +80,72 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
         t = jnp.clip(t, coord - kf, coord + kf)
         return t - coord
 
+    # Velocity is the same for every substep → one weight-field setup.
     fx = frac(xi, vbuf[0])
     fy = frac(yi, vbuf[1])
     fz = frac(zi, vbuf[2])
 
-    # Nested fori_loops with *dynamic* pltpu.roll shifts keep the program
-    # size O(1) in K (a statically unrolled (2K+1)³ accumulation makes
-    # Mosaic compile times explode).  z/y rolls hoist out of the inner
-    # loops so each term costs one lane-roll + weight + fma per field.
     w_sz = 2 * k_win + 1
-    fields_v = tuple(fbuf[c] for c in range(n_fields))
 
     def hat(f, d):
         return jnp.maximum(0.0, 1.0 - jnp.abs(f - d.astype(jnp.float32)))
 
-    def outer(iz, accs):
-        dz = iz - k_win
-        wz = hat(fz, dz)
-        shifted_z = tuple(pltpu.roll(f, (-dz) % p, 0) for f in fields_v)
+    def windowed_sum(fields_v):
+        """Σ over the (2K+1)³ window: nested fori_loops with dynamic
+        pltpu.roll shifts keep Mosaic program size O(1) in K; the inner
+        x loop unrolls statically (static lane rolls vectorize best)."""
 
-        def mid(iy, accs):
-            dy = iy - k_win
-            wzy = wz * hat(fy, dy)
-            shifted_zy = tuple(pltpu.roll(f, (-dy) % n, 1) for f in shifted_z)
+        def outer(iz, accs):
+            dz = iz - k_win
+            wz = hat(fz, dz)
+            shifted_z = tuple(pltpu.roll(f, (-dz) % p, 0) for f in fields_v)
 
-            # Inner x loop unrolled statically: lane rolls with static
-            # shifts vectorize better than dynamic rotates, and 2K+1
-            # static terms keep program size tame.
-            for dx in range(-k_win, k_win + 1):
-                w = wzy * hat(fx, jnp.int32(dx))
-                accs = tuple(
-                    acc + w * pltpu.roll(f, (-dx) % n, 2)
-                    for acc, f in zip(accs, shifted_zy)
+            def mid(iy, accs):
+                dy = iy - k_win
+                wzy = wz * hat(fy, dy)
+                shifted_zy = tuple(
+                    pltpu.roll(f, (-dy) % n, 1) for f in shifted_z
                 )
-            return accs
+                for dx in range(-k_win, k_win + 1):
+                    w = wzy * hat(fx, jnp.int32(dx))
+                    accs = tuple(
+                        acc + w * pltpu.roll(f, (-dx) % n, 2)
+                        for acc, f in zip(accs, shifted_zy)
+                    )
+                return accs
 
-        return jax.lax.fori_loop(0, w_sz, mid, accs)
+            return jax.lax.fori_loop(0, w_sz, mid, accs)
 
-    accs = jax.lax.fori_loop(
-        0, w_sz, outer,
-        tuple(jnp.zeros((p, n, n), jnp.float32) for _ in range(n_fields)),
-    )
+        return jax.lax.fori_loop(
+            0, w_sz, outer,
+            tuple(jnp.zeros((p, n, n), jnp.float32) for _ in range(n_fields)),
+        )
+
+    def faces(b, v):
+        """Materialize set_bnd wall faces (z→y→x order, mirror-negate for
+        the normal velocity component) on the VMEM window — the
+        intermediate-substep equivalent of the XLA _mask_and_bnd_3d."""
+        sz = -1.0 if b == 3 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sx = -1.0 if b == 1 else 1.0
+        v = jnp.where(zg == 0, sz * pltpu.roll(v, p - 1, 0),
+                      jnp.where(zg == n - 1, sz * pltpu.roll(v, 1, 0), v))
+        v = jnp.where(yg == 0, sy * pltpu.roll(v, n - 1, 1),
+                      jnp.where(yg == n - 1, sy * pltpu.roll(v, 1, 1), v))
+        v = jnp.where(xg == 0, sx * pltpu.roll(v, n - 1, 2),
+                      jnp.where(xg == n - 1, sx * pltpu.roll(v, 1, 2), v))
+        return v
+
+    fields_v = tuple(fbuf[c] for c in range(n_fields))
+    for s in range(n_sub):
+        fields_v = windowed_sum(fields_v)
+        if s < n_sub - 1:
+            fields_v = tuple(
+                faces(bs[c], f) for c, f in enumerate(fields_v)
+            )
+
     for c in range(n_fields):
-        obuf[c, :, :, :] = accs[c]
+        obuf[c, :, :, :] = fields_v[c]
 
     out_dma = pltpu.make_async_copy(
         obuf.at[:, pl.ds(off, slab)], out_hbm.at[:, pl.ds(z0, slab)],
@@ -122,7 +155,7 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     out_dma.wait()
 
 
-def _pick_slab(n: int, n_fields: int, k_win: int):
+def _pick_slab(n: int, n_fields: int, halo: int):
     plane = n * n * 4
     # Declared scratch must leave VMEM headroom for the kernel's live
     # temporaries (fx/fy/fz, rolled copies, the accumulator) — roughly
@@ -131,7 +164,7 @@ def _pick_slab(n: int, n_fields: int, k_win: int):
     for slab in (32, 16, 8):
         if n % slab:
             continue
-        p = slab + 2 * k_win
+        p = slab + 2 * halo
         need = (2 * n_fields + 3) * p * plane  # fbuf + obuf(p) + vel
         if need <= budget and p <= n:
             return slab
@@ -139,29 +172,43 @@ def _pick_slab(n: int, n_fields: int, k_win: int):
 
 
 def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
-                           window: int = 2, interpret: bool = False):
-    """Pallas drop-in for ``ops.advect.advect_multi_3d`` (windowed mode).
+                           window: int = 2, n_sub: int = 1,
+                           interpret: bool = False):
+    """Pallas drop-in for ``ops.advect.advect_multi_3d`` (windowed mode)
+    and, with ``n_sub > 1``, for ``advect_substep_3d`` (obstacle-free).
 
     Falls back to the XLA path when unsupported (non-TPU backend, grids
-    whose lane dim isn't 128-aligned, or VMEM-infeasible shapes).
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
-    tests; skips the backend check, keeps the shape checks).
+    whose lane dim isn't 128-aligned, VMEM-infeasible shapes, or
+    obstacles with n_sub > 1).  ``interpret=True`` runs the kernel in the
+    Pallas interpreter (CPU tests; skips the backend check, keeps the
+    shape checks).
     """
-    from ..ops.advect import _mask_and_bnd_3d, advect_multi_3d
+    from ..ops.advect import (
+        _mask_and_bnd_3d,
+        advect_multi_3d,
+        advect_substep_3d,
+    )
+
+    def xla_fallback():
+        if n_sub > 1:
+            return advect_substep_3d(bs, fields, vel, dt, obst, window,
+                                     n_sub=n_sub)
+        return advect_multi_3d(bs, fields, vel, dt, obst, window)
 
     n = fields.shape[-1]
     n_fields = fields.shape[0]
-    slab = _pick_slab(n, n_fields, window)
+    halo = window * n_sub
+    slab = _pick_slab(n, n_fields, halo)
     supported = interpret or (pallas_supported() and n % 128 == 0)
-    if not supported or slab is None:
-        return advect_multi_3d(bs, fields, vel, dt, obst, window)
+    if not supported or slab is None or (n_sub > 1 and obst is not None):
+        return xla_fallback()
 
-    p = slab + 2 * window
+    p = slab + 2 * halo
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
     kernel = functools.partial(
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
-        dt0=dt0,
+        dt0=dt0, n_sub=n_sub, bs=tuple(bs),
     )
     vals = pl.pallas_call(
         kernel,

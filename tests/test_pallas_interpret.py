@@ -75,3 +75,22 @@ def test_advect_pallas_single_field_with_obstacles():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
     )
+
+
+def test_advect_pallas_insub_matches_xla_substep():
+    """In-kernel substepping (n_sub=2) equals the XLA substep composition."""
+    from fluidsim_tpu.ops.advect import advect_substep_3d
+
+    fields = jnp.stack([consistent(b, 50 + b, scale=2.0) for b in (1, 2, 3)])
+    vel = jnp.stack([consistent(b, 60 + b, scale=0.4) for b in (1, 2, 3)])
+    dt = 0.03
+    ref = advect_substep_3d((1, 2, 3), fields, vel, dt, None, window=1,
+                            n_sub=2)
+    got = advect_multi_3d_pallas((1, 2, 3), fields, vel, dt, None, window=1,
+                                 n_sub=2, interpret=True)
+    # The kernel computes dt0 = f32(dt·(n−2))/n_sub, the XLA composition
+    # f32(dt/n_sub)·(n−2) — a 1-ulp backtrace difference that can flip a
+    # hat-weight boundary on isolated cells.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5
+    )
