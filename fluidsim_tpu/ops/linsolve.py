@@ -57,7 +57,9 @@ def diffuse_smooth_2d(b: int, x0, a: float, c: float, obst, iters: int = 20):
         out = x0.at[1:-1, 1:-1].set(jnp.where(obst_int, x0_int, upd))
         return set_bnd_2d(b, out, obst)
 
-    return jax.lax.fori_loop(0, iters, body, x0, unroll=True)
+    # unroll=4 keeps the sweep fused without exploding program size when
+    # hundreds of steps stack in one lax.scan rollout.
+    return jax.lax.fori_loop(0, iters, body, x0, unroll=4)
 
 
 def lin_solve_2d(b: int, x, x0, a: float, c: float, obst, iters: int = 20):
@@ -74,7 +76,7 @@ def lin_solve_2d(b: int, x, x0, a: float, c: float, obst, iters: int = 20):
         out = x.at[1:-1, 1:-1].set(jnp.where(obst_int, x[1:-1, 1:-1], upd))
         return set_bnd_2d(b, out, obst)
 
-    return jax.lax.fori_loop(0, iters, body, x, unroll=True)
+    return jax.lax.fori_loop(0, iters, body, x, unroll=4)
 
 
 def diffuse_2d(b: int, x0, diff: float, dt: float, obst, cfg):
