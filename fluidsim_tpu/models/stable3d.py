@@ -126,6 +126,12 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
         from ..ops.fft_poisson import project_3d_fft
 
         vel, pressure = project_3d_fft(vel)
+    elif use_pallas and obst is None:
+        # fully fused path: div / temporally-blocked Jacobi / gradient
+        # all as slab kernels (pallas/project.py)
+        from ..pallas.project import project_3d_pallas
+
+        vel, pressure = project_3d_pallas(vel, cfg.jacobi_iters)
     else:
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 

@@ -94,3 +94,23 @@ def test_advect_pallas_insub_matches_xla_substep():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5
     )
+
+
+def test_project_pallas_matches_xla():
+    """Fused div/Jacobi/grad projection equals the XLA projection on
+    interior cells and velocity faces (div/p faces are solver-internal)."""
+    from fluidsim_tpu.ops.project import project_3d
+    from fluidsim_tpu.pallas.project import project_3d_pallas
+
+    vel = jnp.stack([consistent(b, 70 + b, scale=1.0) for b in (1, 2, 3)])
+    ref_vel, ref_p = project_3d(vel, None, iters=8)
+    got_vel, got_p = project_3d_pallas(vel, iters=8, block_iters=4,
+                                       interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_vel), np.asarray(ref_vel), rtol=3e-5, atol=3e-6
+    )
+    core = (slice(1, -1),) * 3
+    np.testing.assert_allclose(
+        np.asarray(got_p)[core], np.asarray(ref_p)[core],
+        rtol=3e-5, atol=3e-6,
+    )
