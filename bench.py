@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-SUBSTEPS = 20
+SUBSTEPS = 50
 TRIALS = 3
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
