@@ -32,7 +32,7 @@ from .models.stable2d import simulate_step_2d
 from .models.stable3d import simulate_step_3d
 from .scene.interact import add_force_to_area, mouse_drag_force
 from .scene.obstacles import build_obstacle_mask
-from .scene.sources import apply_custom_source
+from .scene.sources import SourceParams, apply_custom_source, source_params
 from .state import FluidState, zeros_state
 
 
@@ -63,6 +63,7 @@ class Engine:
         re-rasterize obstacles from the current config."""
         obst = build_obstacle_mask(self.cfg)
         self.state = zeros_state(self.cfg, obstacles=jnp.asarray(obst))
+        self._src_params = source_params(self.cfg)
 
     def set_config(self, cfg: SimConfig) -> None:
         """``OnValidate`` analog (FluidSim.cs:154-180): grid-shape changes
@@ -77,6 +78,7 @@ class Engine:
             self.state = self.state.replace(
                 obstacles=jnp.asarray(build_obstacle_mask(cfg))
             )
+            self._src_params = source_params(self.cfg)
 
     def set_paused(self, paused: bool) -> None:
         """FluidSim.cs:149-153."""
@@ -97,19 +99,24 @@ class Engine:
         cfg = self.cfg
         dt = jnp.float32(cfg.effective_params()[0])
 
-        def one(state, _):
+        def one(src: SourceParams, state, _):
             t = state.time + dt
             density, velocity = apply_custom_source(
-                state.density, state.velocity, cfg, t
+                state.density, state.velocity, cfg, t, params=src
             )
             state = state.replace(density=density, velocity=velocity)
             return self._solver_step(state), None
 
         @jax.jit
-        def stepper(state):
+        def stepper(state, src: SourceParams):
+            # Emitter values are traced operands: repositioning the source
+            # (shift-drag, FluidSim.cs:397-402) never triggers a retrace.
+            import functools
+
+            body = functools.partial(one, src)
             if n_substeps == 1:
-                return one(state, None)[0]
-            return jax.lax.scan(one, state, None, length=n_substeps)[0]
+                return body(state, None)[0]
+            return jax.lax.scan(body, state, None, length=n_substeps)[0]
 
         self._step_cache[key] = stepper
         return stepper
@@ -126,12 +133,12 @@ class Engine:
         stepper = self._fused_step(substeps_per_dispatch)
         dispatches, rem = divmod(n, substeps_per_dispatch)
         for _ in range(dispatches):
-            self.state = stepper(self.state)
+            self.state = stepper(self.state, self._src_params)
             self._after_dispatch(substeps_per_dispatch)
         if rem:
             stepper1 = self._fused_step(1)
             for _ in range(rem):
-                self.state = stepper1(self.state)
+                self.state = stepper1(self.state, self._src_params)
                 self._after_dispatch(1)
         return self.state
 
@@ -174,11 +181,18 @@ class Engine:
         return tuple(p * n for p in self.cfg.source_position)
 
     def set_source_position(self, *coords: float) -> None:
-        """Clamped normalized reposition (FluidSim.cs:984-988)."""
+        """Clamped normalized reposition (FluidSim.cs:984-988).
+
+        The position is a traced operand of the jitted step, so this is a
+        per-frame-cheap operation (no retrace), matching the reference's
+        per-frame shift-drag semantics.
+        """
         n = self.cfg.current_size
         pos = tuple(float(np.clip(c / n, 0.0, 1.0)) for c in coords)
         self.cfg = self.cfg.replace(source_position=pos)
-        self._step_cache.clear()
+        self._src_params = self._src_params._replace(
+            position=jnp.asarray(pos[: self.cfg.ndim], jnp.float32)
+        )
 
     def drag(self, prev_pos: Sequence[float], cur_pos: Sequence[float]) -> None:
         """Apply one mouse-drag event (FluidSim.cs:414-436)."""

@@ -164,6 +164,13 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     n = x.shape[-1]
     assert x.shape == (n, n, n) and x0.shape == (n, n, n)
 
+    # Whole-volume-in-VMEM solve: one HBM round trip for any iteration
+    # count (pallas/resident.py) — preferred whenever 3 volumes fit.
+    from .resident import jacobi_3d_resident, resident_fits
+
+    if resident_fits(n, 3):
+        return jacobi_3d_resident(b, x, x0, a, c, iters, interpret=interpret)
+
     picked = _pick_block(n, block_iters)
     if picked is None:  # grid too small/odd for blocking — XLA fallback
         from ..ops.linsolve import jacobi_3d

@@ -162,6 +162,15 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     from ..ops.project import project_3d
 
     n = vel.shape[-1]
+
+    # Whole-projection-in-VMEM kernel: one HBM round trip regardless of
+    # iteration count (pallas/resident.py) — strictly dominates the slab
+    # pipeline whenever 6 volumes fit on-chip.
+    from .resident import project_3d_resident, resident_fits
+
+    if resident_fits(n, 6) and (interpret or pallas_supported()):
+        return project_3d_resident(vel, iters, interpret=interpret)
+
     slab_div = _pick_slab(n, windows=3 + 1)      # vbuf(3) + obuf(1)
     slab_grad = _pick_slab(n, windows=3 + 1 + 3)  # vbuf+pbuf+obuf
     supported = interpret or (pallas_supported() and n % 128 == 0)

@@ -13,6 +13,8 @@ number of additional ``SourceSpec`` emitters (BASELINE config 4).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,75 +33,119 @@ def pulse_scale(t, rate: float):
     return jnp.abs(jnp.sin(t * np.float32(rate) * np.float32(np.pi)))
 
 
-def _apply_one(density, vel, cfg: SimConfig, t, *, position, strength,
-               radius, emits_velocity, velocity, direction, velocity_dir,
-               pulsing, pulse_rate):
+class SourceParams(NamedTuple):
+    """Scene-dynamic emitter values as *traced operands* of the jitted step.
+
+    The reference repositions the emitter per frame with shift-drag
+    (FluidSim.cs:397-402) — a per-frame operation, so these must not be
+    baked into the compiled program as constants (a reposition would
+    otherwise retrace/recompile the whole step, seconds per mouse event on
+    TPU).  Structural switches (pulsing, emits_velocity, enabled) stay
+    static in ``SimConfig``.
+    """
+
+    position: jnp.ndarray   # (ndim,) normalized [0, 1], (x, y[, z]) order
+    strength: jnp.ndarray   # () base strength (pre resolution scaling)
+    radius: jnp.ndarray     # () base radius in cells (pre res scaling)
+    velocity: jnp.ndarray   # () emitted |v| (pre res scaling)
+    dir_vec: jnp.ndarray    # (ndim,) unit emission direction
+
+
+def source_params(cfg: SimConfig) -> SourceParams:
+    """Build the traced emitter operands from the current config."""
+    if cfg.ndim == 2:
+        ang = np.float32(np.deg2rad(np.float32(cfg.source_direction)))
+        dir_vec = np.array(
+            [np.cos(ang), np.sin(ang)], dtype=np.float32
+        )
+    else:
+        d = np.asarray(cfg.source_velocity_dir, dtype=np.float32)
+        dir_vec = (d / max(np.linalg.norm(d), 1e-8)).astype(np.float32)
+    return SourceParams(
+        position=jnp.asarray(cfg.source_position[: cfg.ndim], jnp.float32),
+        strength=jnp.float32(cfg.source_strength),
+        radius=jnp.float32(cfg.source_radius),
+        velocity=jnp.float32(cfg.source_velocity),
+        dir_vec=jnp.asarray(dir_vec),
+    )
+
+
+def _spec_params(spec: SourceSpec, ndim: int) -> SourceParams:
+    """Static ``SourceParams`` for an ``extra_sources`` entry."""
+    if ndim == 2:
+        ang = np.float32(np.deg2rad(np.float32(spec.direction)))
+        dir_vec = np.array([np.cos(ang), np.sin(ang)], dtype=np.float32)
+    else:
+        d = np.asarray(spec.velocity_dir, dtype=np.float32)
+        dir_vec = (d / max(np.linalg.norm(d), 1e-8)).astype(np.float32)
+    return SourceParams(
+        position=jnp.asarray(spec.position[:ndim], jnp.float32),
+        strength=jnp.float32(spec.strength),
+        radius=jnp.float32(spec.radius),
+        velocity=jnp.float32(spec.velocity),
+        dir_vec=jnp.asarray(dir_vec),
+    )
+
+
+def _apply_one(density, vel, cfg: SimConfig, t, params: SourceParams, *,
+               emits_velocity: bool, pulsing: bool, pulse_rate: float):
     """One emitter: pulsing, radial linear falloff, optional directional
-    velocity (FluidSim.cs:485-533), resolution-scaled."""
+    velocity (FluidSim.cs:485-533), resolution-scaled.
+
+    ``params`` values may be traced (the live path) or constants (presets);
+    the float32 op order is identical either way.
+    """
     n = cfg.current_size
     dtype = density.dtype
     nf = np.float32(n)
     res_mult = np.float32(cfg.resolution_multiplier)
 
-    source = tuple(np.float32(p) * nf for p in position)
-    radius_cells = np.float32(radius) * res_mult
+    radius_cells = jnp.asarray(params.radius, jnp.float32) * res_mult
 
     scale = pulse_scale(t, pulse_rate) if pulsing else np.float32(1.0)
-    eff_strength = np.float32(strength) * scale * res_mult
+    eff_strength = jnp.asarray(params.strength, jnp.float32) * scale * res_mult
 
+    pos = jnp.asarray(params.position, jnp.float32)
     coords = _cell_centers(density.shape, dtype)
-    dist = jnp.sqrt(sum((c - s) ** 2 for c, s in zip(coords, source)))
+    dist = jnp.sqrt(
+        sum((c - pos[i] * nf) ** 2 for i, c in enumerate(coords))
+    )
     mask = dist <= radius_cells
     falloff = jnp.where(mask, 1.0 - dist / radius_cells, 0.0)
 
     density = density + eff_strength * falloff
 
     if emits_velocity:
-        vmag = np.float32(velocity) * res_mult
-        if cfg.ndim == 2:
-            # Direction angle → components (FluidSim.cs:524-526).
-            ang = np.float32(np.deg2rad(np.float32(direction)))
-            dir_vec = (np.float32(np.cos(ang)), np.float32(np.sin(ang)))
-        else:
-            d = np.asarray(velocity_dir, dtype=np.float32)
-            norm = np.linalg.norm(d)
-            dir_vec = tuple((d / max(norm, 1e-8)).astype(np.float32))
-        for c, comp in enumerate(dir_vec):
-            vel = vel.at[c].add(comp * vmag * falloff)
+        vmag = jnp.asarray(params.velocity, jnp.float32) * res_mult
+        dir_vec = jnp.asarray(params.dir_vec, jnp.float32)
+        for c in range(cfg.ndim):
+            vel = vel.at[c].add(dir_vec[c] * vmag * falloff)
 
     return density, vel
 
 
-def apply_custom_source(density, vel, cfg: SimConfig, t):
+def apply_custom_source(density, vel, cfg: SimConfig, t,
+                        params: SourceParams = None):
     """One frame of all continuous emitters; no-op config ⇒ identity.
 
     ``t`` is the elapsed time used for pulsing (the reference uses
     wall-clock ``elapsedTime``, FluidSim.cs:394; the engine feeds sim time).
-    Returns (density, vel).
+    ``params`` overrides the main emitter's scene-dynamic values with
+    traced operands (see ``SourceParams``); ``None`` uses the config's
+    values as constants.  Returns (density, vel).
     """
     if cfg.enable_custom_source:
         density, vel = _apply_one(
             density, vel, cfg, t,
-            position=cfg.source_position,
-            strength=cfg.source_strength,
-            radius=cfg.source_radius,
+            params if params is not None else source_params(cfg),
             emits_velocity=cfg.source_emits_velocity,
-            velocity=cfg.source_velocity,
-            direction=cfg.source_direction,
-            velocity_dir=cfg.source_velocity_dir,
             pulsing=cfg.source_pulsing,
             pulse_rate=cfg.source_pulse_rate,
         )
     for spec in cfg.extra_sources:
         density, vel = _apply_one(
-            density, vel, cfg, t,
-            position=spec.position[: cfg.ndim],
-            strength=spec.strength,
-            radius=spec.radius,
+            density, vel, cfg, t, _spec_params(spec, cfg.ndim),
             emits_velocity=spec.emits_velocity,
-            velocity=spec.velocity,
-            direction=spec.direction,
-            velocity_dir=spec.velocity_dir,
             pulsing=spec.pulsing,
             pulse_rate=spec.pulse_rate,
         )

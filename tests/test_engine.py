@@ -68,6 +68,26 @@ def test_engine_interaction():
     assert eng.get_source_position() == (16.0, 24.0)
 
 
+def test_source_reposition_does_not_retrace():
+    """Emitter values are traced operands (VERDICT r1 #3): shift-drag
+    repositioning (FluidSim.cs:397-402) must not recompile the step."""
+    eng = Engine(tiny_cfg())
+    eng.step(2)
+    stepper = eng._fused_step(1)
+    before = stepper._cache_size()
+    assert before >= 1
+    for i in range(4):
+        eng.set_source_position(8.0 + 2 * i, 16.0)
+        eng.step(1)
+    assert stepper._cache_size() == before
+    # and the move actually changes where density lands
+    eng2 = Engine(tiny_cfg())
+    eng2.set_source_position(26.0, 26.0)
+    eng2.step(3)
+    d = np.asarray(eng2.state.density)
+    assert d[20:, 20:].sum() > d[:12, :12].sum()
+
+
 def test_engine_reset_on_resize():
     eng = Engine(tiny_cfg())
     eng.step(2)
