@@ -112,6 +112,47 @@ def test_step_parity_resolution_multiplier():
     )
 
 
+def test_step_parity_resync_64():
+    """The 64-grid gate with per-step re-sync (VERDICT r1 items 4/7): each
+    step starts engine and oracle from the SAME state, so the comparison
+    isolates genuine formula mismatches from chaotic semi-Lagrangian
+    drift — agreement must be at float32 op-reordering level."""
+    cfg = small_cfg(size=64, source_position=(0.2, 0.5),
+                    obstacle_position=(0.6, 0.5))
+    obst = build_obstacle_mask(cfg)
+    n = cfg.current_size
+    step_fn = make_step_2d(cfg)
+
+    od = np.zeros((n, n), np.float32)
+    ovx = np.zeros((n, n), np.float32)
+    ovy = np.zeros((n, n), np.float32)
+
+    t = np.float32(0.0)
+    frame_dt = np.float32(cfg.effective_params()[0])
+    for k in range(4):
+        t = t + frame_dt
+        oracle2d.custom_source(od, ovx, ovy, cfg, t)
+        state = zeros_state(cfg, obstacles=obst).replace(
+            density=jnp.asarray(od), velocity=jnp.stack(
+                [jnp.asarray(ovx), jnp.asarray(ovy)]
+            ),
+        )
+        od, ovx, ovy, op = oracle2d.simulate_step(od, ovx, ovy, obst, cfg)
+        state = step_fn(state)
+
+        for name, got, exp in (
+            ("density", state.density, od),
+            ("vel_x", state.velocity[0], ovx),
+            ("vel_y", state.velocity[1], ovy),
+            ("pressure", state.pressure, op),
+        ):
+            scale = max(1.0, float(np.abs(exp).max()))
+            np.testing.assert_allclose(
+                np.asarray(got), exp, rtol=1e-5, atol=2e-6 * scale,
+                err_msg=f"step {k}: {name} diverged (resync gate)",
+            )
+
+
 def test_density_decay_nonnegative():
     """Property: with no sources, density stays non-negative under decay."""
     cfg = small_cfg(enable_custom_source=False, enable_obstacle=False)
