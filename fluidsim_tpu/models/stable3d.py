@@ -46,7 +46,7 @@ def _pallas_usable(cfg: SimConfig) -> bool:
     ok = (
         pallas_supported()
         and cfg.current_size % 128 == 0
-        and cfg.dtype == "float32"
+        and cfg.dtype in ("float32", "bfloat16")
         and cfg.advect_window > 0
     )
     if cfg.kernel_backend == "pallas" and not ok:
@@ -58,7 +58,12 @@ def _pallas_usable(cfg: SimConfig) -> bool:
     return ok
 
 
-def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
+def simulate_step_3d(state: FluidState, cfg: SimConfig,
+                     jacobi_fn=None) -> FluidState:
+    """One product step.  ``jacobi_fn(p, div, iters)`` optionally overrides
+    the pressure solve — the hook the explicit halo-exchange solver
+    (parallel/halo.jacobi_3d_sharded) plugs into via ``sharded_step_fn``.
+    """
     dt, diff, visc = cfg.effective_params()
     # Static no-obstacle specialization: passing None removes every
     # obstacle branch from the compiled program.
@@ -120,18 +125,22 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig) -> FluidState:
     vel = advect_fields((1, 2, 3), vel, vel)
 
     # -- pressure projection --------------------------------------------
-    if cfg.pressure_solver == "fft":
+    if jacobi_fn is not None:
+        vel, pressure = project_3d(vel, obst, cfg.jacobi_iters,
+                                   use_pallas=False, jacobi_fn=jacobi_fn)
+    elif cfg.pressure_solver == "fft":
         if cfg.enable_obstacle:
             raise ValueError("pressure_solver='fft' requires no obstacles")
         from ..ops.fft_poisson import project_3d_fft
 
         vel, pressure = project_3d_fft(vel)
-    elif use_pallas and obst is None:
-        # fully fused path: div / temporally-blocked Jacobi / gradient
-        # all as slab kernels (pallas/project.py)
+    elif use_pallas:
+        # fully fused path: div / VMEM-resident (or slab) Jacobi /
+        # gradient (pallas/project.py); handles static obstacle masks on
+        # the resident kernel, falls back to XLA otherwise.
         from ..pallas.project import project_3d_pallas
 
-        vel, pressure = project_3d_pallas(vel, cfg.jacobi_iters)
+        vel, pressure = project_3d_pallas(vel, cfg.jacobi_iters, obst=obst)
     else:
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 

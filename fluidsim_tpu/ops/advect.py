@@ -36,12 +36,14 @@ def advect_2d(b: int, d0, vel_x, vel_y, dt: float, obst):
     n = d0.shape[0]
     dt0 = np.float32(dt) * np.float32(n - 2)
 
+    cdt = jnp.float32  # compute dtype: coords/fracs need f32 even for
+    # bf16 storage (integers > 256 are not exact in bf16)
     jj, ii = jnp.meshgrid(
-        jnp.arange(n, dtype=d0.dtype), jnp.arange(n, dtype=d0.dtype),
+        jnp.arange(n, dtype=cdt), jnp.arange(n, dtype=cdt),
         indexing="ij",
     )
-    i0, s1 = _backtrace_1d(ii, vel_x, dt0, n)
-    j0, t1 = _backtrace_1d(jj, vel_y, dt0, n)
+    i0, s1 = _backtrace_1d(ii, vel_x.astype(cdt), dt0, n)
+    j0, t1 = _backtrace_1d(jj, vel_y.astype(cdt), dt0, n)
     s0 = 1.0 - s1
     t0 = 1.0 - t1
     i1 = i0 + 1
@@ -82,15 +84,16 @@ def advect_3d(b: int, d0, vel, dt: float, obst=None, window: int = 0):
     n = d0.shape[-1]
     dt0 = np.float32(dt) * np.float32(n - 2)
 
+    cdt = jnp.float32
     kk, jj, ii = jnp.meshgrid(
-        jnp.arange(n, dtype=d0.dtype),
-        jnp.arange(n, dtype=d0.dtype),
-        jnp.arange(n, dtype=d0.dtype),
+        jnp.arange(n, dtype=cdt),
+        jnp.arange(n, dtype=cdt),
+        jnp.arange(n, dtype=cdt),
         indexing="ij",
     )
-    i0, s1 = _backtrace_1d(ii, vel[0], dt0, n)
-    j0, t1 = _backtrace_1d(jj, vel[1], dt0, n)
-    k0, u1 = _backtrace_1d(kk, vel[2], dt0, n)
+    i0, s1 = _backtrace_1d(ii, vel[0].astype(cdt), dt0, n)
+    j0, t1 = _backtrace_1d(jj, vel[1].astype(cdt), dt0, n)
+    k0, u1 = _backtrace_1d(kk, vel[2].astype(cdt), dt0, n)
     s0, t0, u0 = 1.0 - s1, 1.0 - t1, 1.0 - u1
     i1, j1, k1 = i0 + 1, j0 + 1, k0 + 1
 
@@ -122,7 +125,7 @@ def _advect_3d_window(b: int, d0, vel, dt: float, obst, window: int):
     """Windowed-trilinear advection (see advect_3d docstring)."""
     n = d0.shape[-1]
     dt0 = np.float32(dt) * np.float32(n - 2)
-    k_win = jnp.asarray(window, d0.dtype)
+    k_win = jnp.asarray(window, jnp.float32)
 
     def frac_disp(axis_idx, v, coord):
         x = coord - dt0 * v
@@ -132,22 +135,23 @@ def _advect_3d_window(b: int, d0, vel, dt: float, obst, window: int):
         x = jnp.clip(x, coord - k_win, coord + k_win)
         return x - coord
 
+    cdt = jnp.float32
     kk, jj, ii = jnp.meshgrid(
-        jnp.arange(n, dtype=d0.dtype),
-        jnp.arange(n, dtype=d0.dtype),
-        jnp.arange(n, dtype=d0.dtype),
+        jnp.arange(n, dtype=cdt),
+        jnp.arange(n, dtype=cdt),
+        jnp.arange(n, dtype=cdt),
         indexing="ij",
     )
-    fx = frac_disp(2, vel[0], ii)
-    fy = frac_disp(1, vel[1], jj)
-    fz = frac_disp(0, vel[2], kk)
+    fx = frac_disp(2, vel[0].astype(cdt), ii)
+    fy = frac_disp(1, vel[1].astype(cdt), jj)
+    fz = frac_disp(0, vel[2].astype(cdt), kk)
 
     def shift(arr, dz, dy, dx):
         # result[c] = arr[c + (dz,dy,dx)]; wrapped cells get zero hat weight
         # (the displacement clamp keeps targets in [0.5, n-1.5]).
         return jnp.roll(arr, (-dz, -dy, -dx), (0, 1, 2))
 
-    out = jnp.zeros_like(d0)
+    out = jnp.zeros(d0.shape, jnp.float32)
     for dz in range(-window, window + 1):
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - dz))
         for dy in range(-window, window + 1):
@@ -155,7 +159,7 @@ def _advect_3d_window(b: int, d0, vel, dt: float, obst, window: int):
             for dx in range(-window, window + 1):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - dx))
                 out = out + wzy * wx * shift(d0, dz, dy, dx)
-    return _mask_and_bnd_3d(b, out, d0, obst)
+    return _mask_and_bnd_3d(b, out.astype(d0.dtype), d0, obst)
 
 
 def advect_multi_3d(bs, fields, vel, dt: float, obst=None, window: int = 0):
@@ -171,15 +175,16 @@ def advect_multi_3d(bs, fields, vel, dt: float, obst=None, window: int = 0):
     n = fields.shape[-1]
     dt0 = np.float32(dt) * np.float32(n - 2)
 
+    cdt = jnp.float32  # f32 coords/weights even for bf16 field storage
     kk, jj, ii = jnp.meshgrid(
-        jnp.arange(n, dtype=fields.dtype),
-        jnp.arange(n, dtype=fields.dtype),
-        jnp.arange(n, dtype=fields.dtype),
+        jnp.arange(n, dtype=cdt),
+        jnp.arange(n, dtype=cdt),
+        jnp.arange(n, dtype=cdt),
         indexing="ij",
     )
 
     if window > 0:
-        k_win = jnp.asarray(window, fields.dtype)
+        k_win = jnp.asarray(window, cdt)
 
         def frac_disp(v, coord):
             x = coord - dt0 * v
@@ -188,9 +193,9 @@ def advect_multi_3d(bs, fields, vel, dt: float, obst=None, window: int = 0):
             x = jnp.clip(x, coord - k_win, coord + k_win)
             return x - coord
 
-        fx = frac_disp(vel[0], ii)
-        fy = frac_disp(vel[1], jj)
-        fz = frac_disp(vel[2], kk)
+        fx = frac_disp(vel[0].astype(cdt), ii)
+        fy = frac_disp(vel[1].astype(cdt), jj)
+        fz = frac_disp(vel[2].astype(cdt), kk)
 
         if n >= 192:
             # Large grids: a statically unrolled (2K+1)³ sum produces an
@@ -212,10 +217,10 @@ def advect_multi_3d(bs, fields, vel, dt: float, obst=None, window: int = 0):
                 return acc + w[None] * shifted
 
             vals = jax.lax.fori_loop(
-                0, w_sz ** 3, term, jnp.zeros_like(fields)
-            )
+                0, w_sz ** 3, term, jnp.zeros(fields.shape, jnp.float32)
+            ).astype(fields.dtype)
         else:
-            out = jnp.zeros_like(fields)
+            out = jnp.zeros(fields.shape, jnp.float32)
             for dz in range(-window, window + 1):
                 wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - dz))
                 for dy in range(-window, window + 1):
@@ -224,11 +229,11 @@ def advect_multi_3d(bs, fields, vel, dt: float, obst=None, window: int = 0):
                         w = wzy * jnp.maximum(0.0, 1.0 - jnp.abs(fx - dx))
                         shifted = jnp.roll(fields, (-dz, -dy, -dx), (1, 2, 3))
                         out = out + w[None] * shifted
-            vals = out
+            vals = out.astype(fields.dtype)
     else:
-        i0, s1 = _backtrace_1d(ii, vel[0], dt0, n)
-        j0, t1 = _backtrace_1d(jj, vel[1], dt0, n)
-        k0, u1 = _backtrace_1d(kk, vel[2], dt0, n)
+        i0, s1 = _backtrace_1d(ii, vel[0].astype(cdt), dt0, n)
+        j0, t1 = _backtrace_1d(jj, vel[1].astype(cdt), dt0, n)
+        k0, u1 = _backtrace_1d(kk, vel[2].astype(cdt), dt0, n)
         s0, t0, u0 = 1.0 - s1, 1.0 - t1, 1.0 - u1
         i1, j1, k1 = i0 + 1, j0 + 1, k0 + 1
 

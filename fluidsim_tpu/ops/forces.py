@@ -158,6 +158,9 @@ def vorticity_confinement_3d(vel, dt: float, eps: float):
         dn = _shift_arr(f, -1, axis)
         return 0.5 * (up - dn)
 
+    in_dtype = vel.dtype
+    if in_dtype != jnp.float32:
+        vel = vel.astype(jnp.float32)  # |ω| and N̂ need f32 accumulation
     vx, vy, vz = vel[0], vel[1], vel[2]
     # ω = ∇×v on the [z, y, x] grid: x derivative = axis 2, y = 1, z = 0.
     wx = ddx(vz, 1) - ddx(vy, 0)
@@ -178,7 +181,7 @@ def vorticity_confinement_3d(vel, dt: float, eps: float):
     scale = dt * eps
     return jnp.stack(
         [vx + scale * fx, vy + scale * fy, vz + scale * fz]
-    )
+    ).astype(in_dtype)
 
 
 def _shift_arr(f, delta, axis):

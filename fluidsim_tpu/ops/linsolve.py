@@ -117,6 +117,13 @@ def jacobi_3d(b: int, x, x0, a: float, c: float, obst, iters: int,
     the jnp oracle path; the Pallas kernel in ``fluidsim_tpu.pallas``
     implements the same recurrence with VMEM-resident iterations.
     """
+    in_dtype = x.dtype
+    if in_dtype != jnp.float32:
+        # bf16 field storage: the fixed-point iteration accumulates in f32
+        # (8 mantissa bits would dominate the 60-iteration residual).
+        x = x.astype(jnp.float32)
+        x0 = x0.astype(jnp.float32)
+
     core = (slice(1, -1),) * 3
     x0_int = x0[core]
     obst_int = obst[core] if obst is not None else None
@@ -128,7 +135,8 @@ def jacobi_3d(b: int, x, x0, a: float, c: float, obst, iters: int,
         full = jax.lax.pad(upd, jnp.asarray(0.0, x.dtype), [(1, 1, 0)] * 3)
         return set_bnd_3d(b, full, obst)
 
-    return jax.lax.fori_loop(0, iters, body, x, unroll=unroll)
+    out = jax.lax.fori_loop(0, iters, body, x, unroll=unroll)
+    return out.astype(in_dtype)
 
 
 def diffuse_3d(b: int, x0, diff: float, dt: float, obst, cfg):

@@ -57,16 +57,24 @@ def project_2d(vel_x, vel_y, obst, iters: int = 20):
     return vel_x, vel_y, p
 
 
-def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False):
+def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False,
+               jacobi_fn=None):
     """3D projection on a ``[z, y, x]`` grid; ``vel`` is ``(3, N, N, N)``.
 
     Same structure as 2D with the 6-neighbor divergence and ``c = 6`` —
     the coefficient the reference uses is exactly right here.
     ``obst=None`` statically removes the obstacle branches.
     ``use_pallas`` routes the pressure solve through the VMEM-blocked
-    Pallas kernel (requires ``obst is None``).  Returns (vel, p).
+    Pallas kernel (requires ``obst is None``).  ``jacobi_fn(p, div, iters)``
+    overrides the pressure solve entirely — the hook the explicit
+    halo-exchange solver (parallel/halo.jacobi_3d_sharded) plugs into.
+    Returns (vel, p).
     """
     n = vel.shape[-1]
+    in_dtype = vel.dtype
+    if in_dtype != jnp.float32:
+        # bf16 storage: divergence/solve/gradient accumulate in f32.
+        vel = vel.astype(jnp.float32)
     nf = jnp.asarray(n, vel.dtype)
     core = (slice(1, -1),) * 3
     vx, vy, vz = vel[0], vel[1], vel[2]
@@ -84,10 +92,19 @@ def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False):
     div = set_bnd_3d(0, div, obst)
     p = set_bnd_3d(0, jnp.zeros_like(vx), obst)
 
-    if use_pallas and obst is None:
+    if jacobi_fn is not None:
+        p = jacobi_fn(p, div, iters)
+    elif use_pallas and obst is None:
         from ..pallas.jacobi import jacobi_3d_pallas
 
         p = jacobi_3d_pallas(0, p, div, a=1.0, c=6.0, iters=iters)
+    elif use_pallas:
+        from ..pallas.resident import jacobi_3d_resident, resident_fits
+
+        if resident_fits(n, 4):  # 3 f32 volumes + the bool mask
+            p = jacobi_3d_resident(0, p, div, 1.0, 6.0, iters, obst=obst)
+        else:
+            p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
     else:
         p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
 
@@ -106,4 +123,4 @@ def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False):
     vx = set_bnd_3d(1, vx, obst)
     vy = set_bnd_3d(2, vy, obst)
     vz = set_bnd_3d(3, vz, obst)
-    return jnp.stack([vx, vy, vz]), p
+    return jnp.stack([vx, vy, vz]).astype(in_dtype), p.astype(in_dtype)

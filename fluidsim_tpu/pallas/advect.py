@@ -63,8 +63,9 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     in_dma.wait()
     vel_dma.wait()
 
-    dt0f = jnp.asarray(dt0 / n_sub, jnp.float32)
-    kf = jnp.asarray(k_win, jnp.float32)
+    f32 = jnp.float32
+    dt0f = jnp.asarray(dt0 / n_sub, f32)
+    kf = jnp.asarray(k_win, f32)
 
     zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
     yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
@@ -81,9 +82,11 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
         return t - coord
 
     # Velocity is the same for every substep → one weight-field setup.
-    fx = frac(xi, vbuf[0])
-    fy = frac(yi, vbuf[1])
-    fz = frac(zi, vbuf[2])
+    # Weights/backtrace are f32 even for bf16 storage (coordinates > 256
+    # are not exact in bf16); fields convert on read and on write-back.
+    fx = frac(xi, vbuf[0].astype(f32))
+    fy = frac(yi, vbuf[1].astype(f32))
+    fz = frac(zi, vbuf[2].astype(f32))
 
     w_sz = 2 * k_win + 1
 
@@ -118,7 +121,7 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
 
         return jax.lax.fori_loop(
             0, w_sz, outer,
-            tuple(jnp.zeros((p, n, n), jnp.float32) for _ in range(n_fields)),
+            tuple(jnp.zeros((p, n, n), f32) for _ in range(n_fields)),
         )
 
     def faces(b, v):
@@ -136,7 +139,7 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
                       jnp.where(xg == n - 1, sx * pltpu.roll(v, 1, 2), v))
         return v
 
-    fields_v = tuple(fbuf[c] for c in range(n_fields))
+    fields_v = tuple(fbuf[c].astype(f32) for c in range(n_fields))
     for s in range(n_sub):
         fields_v = windowed_sum(fields_v)
         if s < n_sub - 1:
@@ -145,7 +148,7 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
             )
 
     for c in range(n_fields):
-        obuf[c, :, :, :] = fields_v[c]
+        obuf[c, :, :, :] = fields_v[c].astype(obuf.dtype)
 
     out_dma = pltpu.make_async_copy(
         obuf.at[:, pl.ds(off, slab)], out_hbm.at[:, pl.ds(z0, slab)],
@@ -159,8 +162,10 @@ def _pick_slab(n: int, n_fields: int, halo: int):
     plane = n * n * 4
     # Declared scratch must leave VMEM headroom for the kernel's live
     # temporaries (fx/fy/fz, rolled copies, the accumulator) — roughly
-    # 6 windows' worth — so cap declared buffers at ~7 MB.
-    budget = 7 * 1024 * 1024
+    # 14 windows' worth — so cap declared buffers at ~30 MB of the
+    # ≥109 MB the chip holds (pallas/resident.py).  Extends the kernel
+    # through 256³ (12-plane windows); 512³ falls back to XLA.
+    budget = 30 * 1024 * 1024
     for slab in (32, 16, 8):
         if n % slab:
             continue
@@ -220,9 +225,9 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_fields, n, n, n), fields.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n_fields, p, n, n), jnp.float32),
-            pltpu.VMEM((3, p, n, n), jnp.float32),
-            pltpu.VMEM((n_fields, p, n, n), jnp.float32),
+            pltpu.VMEM((n_fields, p, n, n), fields.dtype),
+            pltpu.VMEM((3, p, n, n), vel.dtype),
+            pltpu.VMEM((n_fields, p, n, n), fields.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(

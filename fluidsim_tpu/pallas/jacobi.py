@@ -134,9 +134,13 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
 
 def _pick_block(n: int, t_iters: int):
     """Choose (slab, halo) fitting 3 windows of (slab+2·halo) planes in
-    ~12 MB of VMEM."""
+    VMEM.  The budget is ~90 MB (the chip holds ≥109 MB of scratch,
+    verified empirically — see pallas/resident.py), which keeps z-slab
+    temporal blocking viable through 512³ (1 MB planes → 30-plane
+    windows) without resorting to y-tiled windows and their ~2× redundant
+    compute (ROADMAP r1 item 1, superseded)."""
     plane_bytes = n * n * 4
-    budget = 12 * 1024 * 1024
+    budget = 90 * 1024 * 1024
     halo = t_iters
     for slab in (64, 32, 16, 8):
         if n % slab:
@@ -171,7 +175,12 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     if resident_fits(n, 3):
         return jacobi_3d_resident(b, x, x0, a, c, iters, interpret=interpret)
 
+    # Large grids: shrink the temporal block until the windows fit (a
+    # smaller T trades HBM passes for less redundant halo compute).
     picked = _pick_block(n, block_iters)
+    while picked is None and block_iters > 2:
+        block_iters //= 2
+        picked = _pick_block(n, block_iters)
     if picked is None:  # grid too small/odd for blocking — XLA fallback
         from ..ops.linsolve import jacobi_3d
 

@@ -143,7 +143,7 @@ def _grad_kernel(vel_hbm, p_hbm, out_hbm, vbuf, pbuf, obuf, sems,
 
 def _pick_slab(n: int, windows: int):
     plane = n * n * 4
-    budget = 7 * 1024 * 1024
+    budget = 24 * 1024 * 1024
     for slab in (64, 32, 16, 8):
         if n % slab:
             continue
@@ -154,11 +154,16 @@ def _pick_slab(n: int, windows: int):
 
 
 def project_3d_pallas(vel, iters: int, block_iters: int = 10,
-                      interpret: bool = False):
-    """Obstacle-free projection with Pallas div/Jacobi/grad. Returns
-    (vel, p).  Falls back to ``ops.project.project_3d`` when the kernels
-    don't apply."""
-    from ..ops.boundary import set_bnd_3d
+                      interpret: bool = False, obst=None):
+    """Projection with Pallas div/Jacobi/grad. Returns (vel, p).  Falls
+    back to ``ops.project.project_3d`` when the kernels don't apply.
+
+    ``obst`` (bool mask) is supported on the resident path: copy-through
+    and gradient masking run in-kernel; the ``set_bnd`` obstacle mirror is
+    applied host-side here (one cheap fused pass), matching the XLA
+    oracle's face-then-mirror order exactly.
+    """
+    from ..ops.boundary import _mirror_obstacles_axis, set_bnd_3d
     from ..ops.project import project_3d
 
     n = vel.shape[-1]
@@ -169,7 +174,17 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     from .resident import project_3d_resident, resident_fits
 
     if resident_fits(n, 6) and (interpret or pallas_supported()):
-        return project_3d_resident(vel, iters, interpret=interpret)
+        out_vel, p = project_3d_resident(vel, iters, obst=obst,
+                                         interpret=interpret)
+        if obst is not None:
+            out_vel = jnp.stack([
+                _mirror_obstacles_axis(out_vel[c], obst, axis=2 - c)
+                for c in range(3)
+            ])
+        return out_vel, p
+
+    if obst is not None:  # slab kernels are obstacle-free
+        return project_3d(vel, obst, iters, use_pallas=not interpret)
 
     slab_div = _pick_slab(n, windows=3 + 1)      # vbuf(3) + obuf(1)
     slab_grad = _pick_slab(n, windows=3 + 1 + 3)  # vbuf+pbuf+obuf

@@ -111,19 +111,28 @@ def _nbr_sum(v):
 
 
 def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
-                iters: int):
+                iters: int, omask_ref=None):
     """Run ``iters`` face-maintained Jacobi sweeps ping-ponging pb0↔pb1.
 
-    Returns the ref holding the final iterate (static).
+    ``omask_ref``: optional bool obstacle mask — obstacle cells copy the
+    previous iterate (the reference's skip semantics, FluidSim.cs:1205).
+    Only valid for ``b == 0`` (scalar solves, where ``set_bnd`` applies no
+    obstacle mirror).  Returns the ref holding the final iterate (static).
     """
     sz, sy, sx = _signs(b)
     az = jnp.asarray(a, jnp.float32)
     ic = jnp.asarray(inv_c, jnp.float32)
 
     def sweep(src, dst):
-        nbr = _nbr_sum(src[:])
+        prev = src[:]
+        nbr = _nbr_sum(prev)
         rhs = x0_ref[:] + (nbr if a == 1.0 else az * nbr)
-        dst[:] = rhs * ic
+        upd = rhs * ic
+        if omask_ref is not None:
+            # Border obstacle cells are irrelevant: faces are rewritten
+            # below, matching the XLA oracle's interior-only copy-through.
+            upd = jnp.where(omask_ref[:] != 0, prev, upd)
+        dst[:] = upd
         _write_faces(dst, n, sz, sy, sx)
 
     def two(_, carry):
@@ -155,55 +164,116 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, sems,
     out_dma.wait()
 
 
-def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
-                       interpret: bool = False):
-    """Whole-volume-in-VMEM ``ops.linsolve.jacobi_3d`` (no obstacles).
+def _jacobi_obst_kernel(x_hbm, x0_hbm, obst_hbm, out_hbm, pb0, pb1, x0s,
+                        omask, sems, *, n: int, b: int, a: float,
+                        inv_c: float, iters: int):
+    dmas = [
+        pltpu.make_async_copy(x_hbm, pb0, sems.at[0]),
+        pltpu.make_async_copy(x0_hbm, x0s, sems.at[1]),
+        pltpu.make_async_copy(obst_hbm, omask, sems.at[2]),
+    ]
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
 
-    One kernel, one HBM read of (x, x0) and one write of the result,
-    regardless of ``iters``.  Matches the XLA oracle on arbitrary inputs
-    (first sweep reads the given faces, as the oracle does).
+    final = _solve_loop(x0s, pb0, pb1, n=n, b=b, a=a, inv_c=inv_c,
+                        iters=iters, omask_ref=omask)
+
+    out_dma = pltpu.make_async_copy(final, out_hbm, sems.at[3])
+    out_dma.start()
+    out_dma.wait()
+
+
+def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
+                       obst=None, interpret: bool = False):
+    """Whole-volume-in-VMEM ``ops.linsolve.jacobi_3d``.
+
+    One kernel, one HBM read of (x, x0[, obst]) and one write of the
+    result, regardless of ``iters``.  Matches the XLA oracle on arbitrary
+    inputs (first sweep reads the given faces, as the oracle does).
+    ``obst`` (bool mask, scalar solves ``b == 0`` only — set_bnd applies
+    no obstacle mirror there) makes obstacle cells copy the previous
+    iterate, exactly the oracle's skip semantics.
     """
     n = x.shape[-1]
     assert x.shape == (n, n, n) and x0.shape == (n, n, n)
+    assert obst is None or b == 0, "obstacle copy-through is b==0 only"
+    if x.dtype != jnp.float32:
+        # Narrow storage: solve in f32 (the projection kernel handles bf16
+        # natively in-kernel; this standalone entry upcasts at the edge).
+        out = jacobi_3d_resident(
+            b, x.astype(jnp.float32), x0.astype(jnp.float32), a, c, iters,
+            obst=obst, interpret=interpret,
+        )
+        return out.astype(x.dtype)
     inv_c = float(np.float32(1.0) / np.float32(c))
-    kernel = functools.partial(
-        _jacobi_kernel, n=n, b=b, a=float(np.float32(a)), inv_c=inv_c,
-        iters=iters,
-    )
-    return pl.pallas_call(
-        kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+    common = dict(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n, n), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n, n, n), jnp.float32),
-            pltpu.VMEM((n, n, n), jnp.float32),
-            pltpu.VMEM((n, n, n), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, x0)
+    )
+    if obst is None:
+        kernel = functools.partial(
+            _jacobi_kernel, n=n, b=b, a=float(np.float32(a)), inv_c=inv_c,
+            iters=iters,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((n, n, n), jnp.float32),
+                pltpu.VMEM((n, n, n), jnp.float32),
+                pltpu.VMEM((n, n, n), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            **common,
+        )(x, x0)
+    kernel = functools.partial(
+        _jacobi_obst_kernel, n=n, b=b, a=float(np.float32(a)), inv_c=inv_c,
+        iters=iters,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((n, n, n), jnp.float32),
+            pltpu.VMEM((n, n, n), jnp.float32),
+            pltpu.VMEM((n, n, n), jnp.float32),
+            pltpu.VMEM((n, n, n), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        **common,
+    )(x, x0, obst.astype(jnp.int8))
 
 
-def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, sems,
-                    *, n: int, iters: int):
+def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
+                    sems, *, n: int, iters: int, obst_hbm=None, omask=None):
+    """``vbuf``/``pstag`` carry the storage dtype (float32 or bfloat16 —
+    halving HBM traffic for bf16 fields); the solve buffers (pb0/pb1/divb)
+    are always float32: the fixed-point iteration accumulates on-chip in
+    full precision and only the HBM crossings are narrow."""
     in_dma = pltpu.make_async_copy(vel_hbm, vbuf, sems.at[0])
     in_dma.start()
+    if obst_hbm is not None:
+        ob_dma = pltpu.make_async_copy(obst_hbm, omask, sems.at[5])
+        ob_dma.start()
+        ob_dma.wait()
     in_dma.wait()
 
-    nf = jnp.asarray(float(n), jnp.float32)
-    half = jnp.asarray(0.5, jnp.float32)
+    f32 = jnp.float32
+    nf = jnp.asarray(float(n), f32)
+    half = jnp.asarray(0.5, f32)
 
     # Divergence, exact grouping of ops.project.project_3d's div_int
     # (interior cells agree bitwise; wall cells are garbage but the Jacobi
     # rhs is only read at interior cells, and p starts at zero).
-    vx, vy, vz = vbuf[0], vbuf[1], vbuf[2]
+    vx = vbuf[0].astype(f32)
+    vy = vbuf[1].astype(f32)
+    vz = vbuf[2].astype(f32)
     divb[:] = (
         -half
         * (
@@ -214,23 +284,30 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, sems,
         / nf
     )
 
-    pb0[:] = jnp.zeros((n, n, n), jnp.float32)
+    pb0[:] = jnp.zeros((n, n, n), f32)
     inv6 = float(np.float32(1.0) / np.float32(6.0))
     final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
-                        iters=iters)
+                        iters=iters, omask_ref=omask)
 
     # p is face-consistent (maintained every sweep) — ship it now so the
     # transfer overlaps the gradient computation.
-    p_dma = pltpu.make_async_copy(final, p_hbm, sems.at[1])
+    pv = final[:]
+    pstag[:] = pv.astype(pstag.dtype)
+    p_dma = pltpu.make_async_copy(pstag, p_hbm, sems.at[1])
     p_dma.start()
 
     # Gradient subtraction v −= 0.5·N·∂p with in-place face rewrite, per
     # component; start each component's out-DMA as soon as it's final.
-    pv = final[:]
     out_dmas = []
     for comp, axis in ((0, 2), (1, 1), (2, 0)):
         g = half * (_roll(pv, -1, axis) - _roll(pv, 1, axis)) * nf
-        vbuf[comp] = vbuf[comp] - g
+        vold = vbuf[comp].astype(f32)
+        upd = vold - g
+        if omask is not None:
+            # gradient is zeroed in obstacle cells (ops.project.project_3d);
+            # the set_bnd obstacle *mirror* runs host-side after the kernel.
+            upd = jnp.where(omask[:] != 0, vold, upd)
+        vbuf[comp] = upd.astype(vbuf.dtype)
         sz, sy, sx = _signs(comp + 1)
         _write_faces(vbuf, n, sz, sy, sx, c=comp)
         dma = pltpu.make_async_copy(
@@ -244,21 +321,30 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, sems,
         dma.wait()
 
 
-def project_3d_resident(vel, iters: int, interpret: bool = False):
+def _project_obst_kernel(vel_hbm, obst_hbm, velout_hbm, p_hbm,
+                         vbuf, pb0, pb1, divb, pstag, omask, sems,
+                         *, n: int, iters: int):
+    _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
+                    sems, n=n, iters=iters, obst_hbm=obst_hbm, omask=omask)
+
+
+def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
     """Whole-projection-in-VMEM: divergence + ``iters`` Jacobi sweeps +
     gradient subtraction in ONE kernel.  Returns (vel, p).
 
-    HBM traffic: one read of vel, one write of (vel, p) — independent of
-    ``iters``.  Interior numerics match ``ops.project.project_3d`` (the
-    returned div/p wall values are solver-internal; p's faces ARE
-    set_bnd-consistent here).
+    HBM traffic: one read of vel (+ the bool mask), one write of (vel, p)
+    — independent of ``iters``.  Interior numerics match
+    ``ops.project.project_3d`` (the returned div/p wall values are
+    solver-internal; p's faces ARE set_bnd-consistent here).
+
+    ``obst``: optional bool mask.  In-kernel it drives the solve's
+    copy-through and the gradient zeroing; the caller must still apply the
+    ``set_bnd`` obstacle *mirror* to the returned velocity components
+    (project_3d_pallas does).
     """
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n)
-    kernel = functools.partial(_project_kernel, n=n, iters=iters)
-    out_vel, p = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+    common = dict(
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -267,16 +353,33 @@ def project_3d_resident(vel, iters: int, interpret: bool = False):
             jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
             jax.ShapeDtypeStruct((n, n, n), vel.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((3, n, n, n), jnp.float32),
-            pltpu.VMEM((n, n, n), jnp.float32),
-            pltpu.VMEM((n, n, n), jnp.float32),
-            pltpu.VMEM((n, n, n), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(vel)
-    return out_vel, p
+    )
+    scratch = [
+        pltpu.VMEM((3, n, n, n), vel.dtype),      # vbuf (storage dtype)
+        pltpu.VMEM((n, n, n), jnp.float32),       # pb0
+        pltpu.VMEM((n, n, n), jnp.float32),       # pb1
+        pltpu.VMEM((n, n, n), jnp.float32),       # divb
+        pltpu.VMEM((n, n, n), vel.dtype),         # pstag (out staging)
+    ]
+    if obst is None:
+        kernel = functools.partial(_project_kernel, n=n, iters=iters)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((5,))],
+            **common,
+        )(vel)
+    kernel = functools.partial(_project_obst_kernel, n=n, iters=iters)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        scratch_shapes=scratch + [
+            pltpu.VMEM((n, n, n), jnp.int8),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        **common,
+    )(vel, obst.astype(jnp.int8))

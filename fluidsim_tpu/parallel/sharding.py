@@ -62,19 +62,43 @@ def shard_state(state: FluidState, mesh: Mesh, axis_name: str = "z") -> FluidSta
 
 
 def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
-                    n_substeps: int = 1, with_source: bool = True):
+                    n_substeps: int = 1, with_source: bool = True,
+                    halo: str = "auto"):
     """Compile the full 3D step for a slab-sharded state.
 
-    The solver body is *identical* to the single-device one — XLA lowers
-    the stencil shifts on sharded arrays to ICI collective-permutes of the
-    single-plane halos.  ``n_substeps > 1`` rolls steps into one program
-    via ``lax.scan`` so halo exchanges pipeline with compute.
+    ``halo`` selects the stencil-communication strategy for the pressure
+    solve (the step's dominant communicator — one halo exchange per Jacobi
+    sweep):
+
+    * ``"auto"`` — the solver body is *identical* to the single-device one;
+      XLA's auto-partitioner lowers the stencil shifts on sharded arrays to
+      ICI collective-permutes of the single-plane halos.
+    * ``"explicit"`` — the pressure solve routes through
+      ``parallel.halo.jacobi_3d_sharded``: hand-written ``shard_map`` +
+      per-sweep ``ppermute`` edge-plane exchange.  Same numerics (tested);
+      this is the staging ground for RDMA-halo Pallas kernels.  Requires
+      ``enable_obstacle=False``.
+
+    ``n_substeps > 1`` rolls steps into one program via ``lax.scan`` so
+    halo exchanges pipeline with compute.
     """
     from ..models.stable3d import simulate_step_3d
     from ..scene.sources import apply_custom_source
 
     if cfg.ndim != 3:
         raise ValueError("sharded_step_fn is for the 3D engine")
+    if halo not in ("auto", "explicit"):
+        raise ValueError(f"halo must be 'auto' or 'explicit', got {halo!r}")
+    jacobi_fn = None
+    if halo == "explicit":
+        if cfg.enable_obstacle:
+            raise ValueError("halo='explicit' requires enable_obstacle=False")
+        from .halo import jacobi_3d_sharded
+
+        def jacobi_fn(p, div, iters):
+            return jacobi_3d_sharded(p, div, 1.0, 6.0, iters, mesh,
+                                     axis_name, b=0)
+
     sh = state_sharding(mesh, axis_name)
     dt = np.float32(cfg.effective_params()[0])
 
@@ -85,7 +109,7 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                 state.density, state.velocity, cfg, t
             )
             state = state.replace(density=density, velocity=velocity)
-        return simulate_step_3d(state, cfg), None
+        return simulate_step_3d(state, cfg, jacobi_fn=jacobi_fn), None
 
     def body(state):
         if n_substeps == 1:
