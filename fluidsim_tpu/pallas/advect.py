@@ -44,24 +44,75 @@ except Exception:  # pragma: no cover
 
 def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
                    *, n: int, n_fields: int, slab: int, k_win: int,
-                   dt0: float, n_sub: int, bs):
+                   dt0: float, n_sub: int, bs, nbuf: int = 1, n_prog: int = 1):
+    """``nbuf=2`` double-buffers across the (sequential) grid programs:
+    program i prefetches window i+1's fields+velocity while computing
+    window i, and defers each out-DMA's wait to the next reuse of its
+    slot — hiding the DMA time (measured ≈ half the kernel) under the
+    windowed-sum compute.  ``nbuf=1`` is the serial flow for grids whose
+    doubled windows don't fit VMEM."""
     i = pl.program_id(0)
     halo = k_win * n_sub
     p = slab + 2 * halo
     z0 = i * slab
-    start = jnp.clip(z0 - halo, 0, n - p)
-    off = z0 - start
 
-    in_dma = pltpu.make_async_copy(
-        fields_hbm.at[:, pl.ds(start, p)], fbuf, sems.at[0]
-    )
-    vel_dma = pltpu.make_async_copy(
-        vel_hbm.at[:, pl.ds(start, p)], vbuf, sems.at[1]
-    )
-    in_dma.start()
-    vel_dma.start()
-    in_dma.wait()
-    vel_dma.wait()
+    def win_start(j):
+        return jnp.clip(j * slab - halo, 0, n - p)
+
+    def in_dmas(slot, j):
+        s = win_start(j)
+        return (
+            pltpu.make_async_copy(
+                fields_hbm.at[:, pl.ds(s, p)], fbuf.at[slot],
+                sems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                vel_hbm.at[:, pl.ds(s, p)], vbuf.at[slot], sems.at[1, slot]
+            ),
+        )
+
+    def out_dma(slot, j):
+        s = win_start(j)
+        off_j = j * slab - s
+        return pltpu.make_async_copy(
+            obuf.at[slot, :, pl.ds(off_j, slab)],
+            out_hbm.at[:, pl.ds(j * slab, slab)],
+            sems.at[2, slot],
+        )
+
+    if nbuf == 2:
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for d in in_dmas(jnp.int32(0), jnp.int32(0)):
+                d.start()
+
+        @pl.when(i + 1 < n_prog)
+        def _():
+            for d in in_dmas(nslot, i + 1):
+                d.start()
+
+        for d in in_dmas(slot, i):
+            d.wait()
+
+        @pl.when(i >= 2)
+        def _():
+            # reclaim this slot's out buffer before overwriting it
+            out_dma(slot, i - 2).wait()
+    else:
+        slot = jnp.int32(0)
+        for d in in_dmas(slot, i):
+            d.start()
+        for d in in_dmas(slot, i):
+            d.wait()
+
+    start = win_start(i)
+    off = z0 - start
+    fbuf = fbuf.at[slot]
+    vbuf = vbuf.at[slot]
+    obuf_slot = obuf.at[slot]
 
     f32 = jnp.float32
     dt0f = jnp.asarray(dt0 / n_sub, f32)
@@ -148,31 +199,39 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
             )
 
     for c in range(n_fields):
-        obuf[c, :, :, :] = fields_v[c].astype(obuf.dtype)
+        obuf_slot[c, :, :, :] = fields_v[c].astype(obuf.dtype)
 
-    out_dma = pltpu.make_async_copy(
-        obuf.at[:, pl.ds(off, slab)], out_hbm.at[:, pl.ds(z0, slab)],
-        sems.at[2],
-    )
-    out_dma.start()
-    out_dma.wait()
+    mine = out_dma(slot, i)
+    mine.start()
+    if nbuf == 2:
+        @pl.when(i == n_prog - 1)
+        def _():
+            # drain: the previous program's out-DMA was never reclaimed
+            if n_prog >= 2:
+                out_dma(jax.lax.rem(i - 1, 2), i - 1).wait()
+            out_dma(slot, i).wait()
+    else:
+        mine.wait()
 
 
 def _pick_slab(n: int, n_fields: int, halo: int):
+    """Returns (slab, nbuf).  Declared scratch must leave VMEM headroom
+    for the kernel's live temporaries (fx/fy/fz, rolled copies, the
+    accumulator) — roughly 14 windows' worth — so declared buffers cap at
+    ~45 MB of the ≥109 MB the chip holds (pallas/resident.py).  Prefers
+    the double-buffered variant (nbuf=2: prefetch + deferred out-DMA
+    waits — the DMA is ~half the serial kernel's time); falls back to
+    single-buffered, then to XLA (512³)."""
     plane = n * n * 4
-    # Declared scratch must leave VMEM headroom for the kernel's live
-    # temporaries (fx/fy/fz, rolled copies, the accumulator) — roughly
-    # 14 windows' worth — so cap declared buffers at ~30 MB of the
-    # ≥109 MB the chip holds (pallas/resident.py).  Extends the kernel
-    # through 256³ (12-plane windows); 512³ falls back to XLA.
-    budget = 30 * 1024 * 1024
-    for slab in (32, 16, 8):
-        if n % slab:
-            continue
-        p = slab + 2 * halo
-        need = (2 * n_fields + 3) * p * plane  # fbuf + obuf(p) + vel
-        if need <= budget and p <= n:
-            return slab
+    budget = 45 * 1024 * 1024
+    for nbuf in (2, 1):
+        for slab in (32, 16, 8):
+            if n % slab:
+                continue
+            p = slab + 2 * halo
+            need = nbuf * (2 * n_fields + 3) * p * plane
+            if need <= budget and p <= n:
+                return slab, nbuf
     return None
 
 
@@ -203,17 +262,18 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     n = fields.shape[-1]
     n_fields = fields.shape[0]
     halo = window * n_sub
-    slab = _pick_slab(n, n_fields, halo)
+    picked = _pick_slab(n, n_fields, halo)
     supported = interpret or (pallas_supported() and n % 128 == 0)
-    if not supported or slab is None or (n_sub > 1 and obst is not None):
+    if not supported or picked is None or (n_sub > 1 and obst is not None):
         return xla_fallback()
 
+    slab, nbuf = picked
     p = slab + 2 * halo
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
     kernel = functools.partial(
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
-        dt0=dt0, n_sub=n_sub, bs=tuple(bs),
+        dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf, n_prog=n // slab,
     )
     vals = pl.pallas_call(
         kernel,
@@ -225,13 +285,13 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_fields, n, n, n), fields.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n_fields, p, n, n), fields.dtype),
-            pltpu.VMEM((3, p, n, n), vel.dtype),
-            pltpu.VMEM((n_fields, p, n, n), fields.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
+            pltpu.VMEM((nbuf, 3, p, n, n), vel.dtype),
+            pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
+            pltpu.SemaphoreType.DMA((3, nbuf)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fields, vel)

@@ -134,13 +134,13 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
 
 def _pick_block(n: int, t_iters: int):
     """Choose (slab, halo) fitting 3 windows of (slab+2·halo) planes in
-    VMEM.  The budget is ~90 MB (the chip holds ≥109 MB of scratch,
+    VMEM.  The budget is ~64 MB (the chip holds ≥109 MB of scratch but the kernel needs ~2 windows of temporary headroom,
     verified empirically — see pallas/resident.py), which keeps z-slab
     temporal blocking viable through 512³ (1 MB planes → 30-plane
     windows) without resorting to y-tiled windows and their ~2× redundant
     compute (ROADMAP r1 item 1, superseded)."""
     plane_bytes = n * n * 4
-    budget = 90 * 1024 * 1024
+    budget = 64 * 1024 * 1024
     halo = t_iters
     for slab in (64, 32, 16, 8):
         if n % slab:
@@ -220,7 +220,7 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=127 * 1024 * 1024,
             ),
             interpret=interpret,
         )(x, x0)
