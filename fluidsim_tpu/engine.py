@@ -111,12 +111,11 @@ class Engine:
         def stepper(state, src: SourceParams):
             # Emitter values are traced operands: repositioning the source
             # (shift-drag, FluidSim.cs:397-402) never triggers a retrace.
-            import functools
-
-            body = functools.partial(one, src)
             if n_substeps == 1:
-                return body(state, None)[0]
-            return jax.lax.scan(body, state, None, length=n_substeps)[0]
+                return one(src, state, None)[0]
+            return jax.lax.scan(
+                lambda s, x: one(src, s, x), state, None, length=n_substeps
+            )[0]
 
         self._step_cache[key] = stepper
         return stepper

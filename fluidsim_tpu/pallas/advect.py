@@ -215,21 +215,22 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
 
 
 def _pick_slab(n: int, n_fields: int, halo: int):
-    """Returns (slab, nbuf).  Declared scratch must leave VMEM headroom
-    for the kernel's live temporaries (fx/fy/fz, rolled copies, the
-    accumulator) — roughly 14 windows' worth — so declared buffers cap at
-    ~45 MB of the ≥109 MB the chip holds (pallas/resident.py).  Prefers
-    the double-buffered variant (nbuf=2: prefetch + deferred out-DMA
-    waits — the DMA is ~half the serial kernel's time); falls back to
-    single-buffered, then to XLA (512³)."""
+    """Returns (slab, nbuf).  The VMEM model is *total* footprint:
+    declared buffers (nbuf·(2F+3) windows) plus the kernel's live
+    temporaries + register-allocator spill slots, which measure ≈28
+    window-equivalents on the compiled kernel (103 MB total at 128³/
+    slab 32/nbuf 2; a 16-plane pick at 256³ spilled 145 MB and OOM'd the
+    128 MB VMEM).  Prefers the double-buffered variant (nbuf=2: prefetch
+    + deferred out-DMA waits — DMA is ~half the serial kernel's time);
+    falls back to single-buffered, then to XLA (512³)."""
     plane = n * n * 4
-    budget = 45 * 1024 * 1024
+    budget = 120 * 1024 * 1024
     for nbuf in (2, 1):
         for slab in (32, 16, 8):
             if n % slab:
                 continue
             p = slab + 2 * halo
-            need = nbuf * (2 * n_fields + 3) * p * plane
+            need = (nbuf * (2 * n_fields + 3) + 28) * p * plane
             if need <= budget and p <= n:
                 return slab, nbuf
     return None

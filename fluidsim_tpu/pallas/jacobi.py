@@ -133,20 +133,20 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
 
 
 def _pick_block(n: int, t_iters: int):
-    """Choose (slab, halo) fitting 3 windows of (slab+2·halo) planes in
-    VMEM.  The budget is ~64 MB (the chip holds ≥109 MB of scratch but the kernel needs ~2 windows of temporary headroom,
-    verified empirically — see pallas/resident.py), which keeps z-slab
-    temporal blocking viable through 512³ (1 MB planes → 30-plane
-    windows) without resorting to y-tiled windows and their ~2× redundant
-    compute (ROADMAP r1 item 1, superseded)."""
+    """Choose (slab, halo) for z-slab temporal blocking.  The VMEM model
+    is *total* footprint: 3 declared windows plus ~12 window-equivalents
+    of live sweep temporaries/spills (v, six rolled neighbors, partial
+    sums) against the chip's 128 MB, which keeps the kernel viable
+    through 256³ (28-plane windows) without y-tiled windows and their
+    ~2× redundant compute (ROADMAP r1 item 1, superseded)."""
     plane_bytes = n * n * 4
-    budget = 64 * 1024 * 1024
+    budget = 120 * 1024 * 1024
     halo = t_iters
     for slab in (64, 32, 16, 8):
         if n % slab:
             continue
         window = slab + 2 * halo
-        if 3 * window * plane_bytes <= budget and window <= n:
+        if (3 + 12) * window * plane_bytes <= budget and window <= n:
             return slab, halo
     return None
 
