@@ -114,9 +114,9 @@ def _mask_and_bnd_3d(b, val, d0, obst):
     """Fresh-zero-buffer semantics: interior non-obstacle cells take ``val``,
     everything else 0, then ``set_bnd_3d``."""
     core = (slice(1, -1),) * 3
-    inner = val[core]
+    inner = val[core].astype(d0.dtype)  # val may be an f32 accumulator
     if obst is not None:
-        inner = jnp.where(obst[core], 0.0, inner)
+        inner = jnp.where(obst[core], jnp.asarray(0.0, d0.dtype), inner)
     out = jnp.zeros_like(d0).at[core].set(inner)
     return set_bnd_3d(b, out, obst)
 

@@ -106,20 +106,24 @@ def _apply_one(density, vel, cfg: SimConfig, t, params: SourceParams, *,
     eff_strength = jnp.asarray(params.strength, jnp.float32) * scale * res_mult
 
     pos = jnp.asarray(params.position, jnp.float32)
-    coords = _cell_centers(density.shape, dtype)
+    # Coordinates/falloff in f32 even for narrow field storage (bf16 can't
+    # represent cell indices > 256); only the final add is in field dtype.
+    coords = _cell_centers(density.shape, jnp.float32)
     dist = jnp.sqrt(
         sum((c - pos[i] * nf) ** 2 for i, c in enumerate(coords))
     )
     mask = dist <= radius_cells
     falloff = jnp.where(mask, 1.0 - dist / radius_cells, 0.0)
 
-    density = density + eff_strength * falloff
+    density = density + (eff_strength * falloff).astype(dtype)
 
     if emits_velocity:
         vmag = jnp.asarray(params.velocity, jnp.float32) * res_mult
         dir_vec = jnp.asarray(params.dir_vec, jnp.float32)
         for c in range(cfg.ndim):
-            vel = vel.at[c].add(dir_vec[c] * vmag * falloff)
+            vel = vel.at[c].add(
+                (dir_vec[c] * vmag * falloff).astype(vel.dtype)
+            )
 
     return density, vel
 
