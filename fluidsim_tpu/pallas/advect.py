@@ -147,7 +147,13 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     def windowed_sum(fields_v):
         """Σ over the (2K+1)³ window: nested fori_loops with dynamic
         pltpu.roll shifts keep Mosaic program size O(1) in K; the inner
-        x loop unrolls statically (static lane rolls vectorize best)."""
+        x loop unrolls statically (static lane rolls vectorize best).
+
+        A fully static 27-term K=1 unroll (with cheap relu-form hats) was
+        tried and rejected: the register allocator keeps too many
+        window-sized values live across the unrolled schedule and spills
+        ~150 MB of VMEM (compile OOM at 128³); the fori structure bounds
+        the live set."""
 
         def outer(iz, accs):
             dz = iz - k_win
