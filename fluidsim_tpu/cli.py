@@ -36,6 +36,10 @@ def _build_engine(args, store=None):
         cfg = get_preset(args.preset)
     if args.size:
         cfg = cfg.replace(size=args.size)
+    if getattr(args, "backend", None):
+        cfg = cfg.replace(kernel_backend=args.backend)
+    if getattr(args, "dtype", None):
+        cfg = cfg.replace(dtype=args.dtype)
     return Engine(cfg, store=store, nan_guard=args.nan_guard)
 
 
@@ -201,6 +205,12 @@ def main(argv=None):
         sp.add_argument("--config", default=None,
                         help="JSON config file (overrides --preset)")
         sp.add_argument("--size", type=int, default=None)
+        sp.add_argument("--backend", choices=("auto", "pallas", "xla"),
+                        default=None,
+                        help="kernel backend override (xla = disable "
+                        "Pallas kernels, for A/B comparisons)")
+        sp.add_argument("--dtype", choices=("float32", "bfloat16"),
+                        default=None, help="field storage dtype override")
         sp.add_argument("--steps", type=int, default=steps)
         sp.add_argument("--substeps", type=int, default=10,
                         help="steps per lax.scan dispatch")

@@ -44,7 +44,8 @@ except Exception:  # pragma: no cover
 
 def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
                    *, n: int, n_fields: int, slab: int, k_win: int,
-                   dt0: float, n_sub: int, bs, nbuf: int = 1, n_prog: int = 1):
+                   dt0: float, n_sub: int, bs, nbuf: int = 1, n_prog: int = 1,
+                   fuse_mask: bool = False):
     """``nbuf=2`` double-buffers across the (sequential) grid programs:
     program i prefetches window i+1's fields+velocity while computing
     window i, and defers each out-DMA's wait to the next reuse of its
@@ -207,6 +208,53 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     for c in range(n_fields):
         obuf_slot[c, :, :, :] = fields_v[c].astype(obuf.dtype)
 
+    if fuse_mask:
+        # The output contract (ops.advect._mask_and_bnd_3d, obstacle-free):
+        # fresh-zero borders, then set_bnd faces z→y→x.  Done here as
+        # slice writes on the out window — saves the caller a full XLA
+        # pass over every field.  y/x borders are local to the window;
+        # global z faces exist only in the first/last program (window
+        # halo planes are outside the shipped slab).
+        zy = jnp.zeros((p, 1, n), obuf.dtype)
+        zx = jnp.zeros((p, n, 1), obuf.dtype)
+        for c in range(n_fields):
+            szf = -1.0 if bs[c] == 3 else 1.0
+            syf = -1.0 if bs[c] == 2 else 1.0
+            sxf = -1.0 if bs[c] == 1 else 1.0
+            # fresh-zero y/x borders (the z face writes below cover whole
+            # planes, so no separate z zeroing is needed)
+            obuf_slot[c, :, 0:1, :] = zy
+            obuf_slot[c, :, n - 1:n, :] = zy
+            obuf_slot[c, :, :, 0:1] = zx
+            obuf_slot[c, :, :, n - 1:n] = zx
+
+            @pl.when(i == 0)
+            def _(c=c, szf=szf):
+                obuf_slot[c, 0:1] = (
+                    obuf_slot[c, 1:2] if szf == 1.0
+                    else szf * obuf_slot[c, 1:2]
+                )
+
+            @pl.when(i == n_prog - 1)
+            def _(c=c, szf=szf):
+                obuf_slot[c, p - 1:p] = (
+                    obuf_slot[c, p - 2:p - 1] if szf == 1.0
+                    else szf * obuf_slot[c, p - 2:p - 1]
+                )
+
+            ysrc_lo = obuf_slot[c, :, 1:2, :]
+            obuf_slot[c, :, 0:1, :] = ysrc_lo if syf == 1.0 else syf * ysrc_lo
+            ysrc_hi = obuf_slot[c, :, n - 2:n - 1, :]
+            obuf_slot[c, :, n - 1:n, :] = (
+                ysrc_hi if syf == 1.0 else syf * ysrc_hi
+            )
+            xsrc_lo = obuf_slot[c, :, :, 1:2]
+            obuf_slot[c, :, :, 0:1] = xsrc_lo if sxf == 1.0 else sxf * xsrc_lo
+            xsrc_hi = obuf_slot[c, :, :, n - 2:n - 1]
+            obuf_slot[c, :, :, n - 1:n] = (
+                xsrc_hi if sxf == 1.0 else sxf * xsrc_hi
+            )
+
     mine = out_dma(slot, i)
     mine.start()
     if nbuf == 2:
@@ -278,9 +326,11 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     p = slab + 2 * halo
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
+    fuse_mask = obst is None
     kernel = functools.partial(
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
         dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf, n_prog=n // slab,
+        fuse_mask=fuse_mask,
     )
     vals = pl.pallas_call(
         kernel,
@@ -303,6 +353,10 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         interpret=interpret,
     )(fields, vel)
 
+    if fuse_mask:
+        # fresh-zero + set_bnd were applied in-kernel (slice writes on the
+        # out window) — no host-side masking pass needed.
+        return vals
     return jnp.stack(
         [
             _mask_and_bnd_3d(b, vals[c], fields[c], obst)
