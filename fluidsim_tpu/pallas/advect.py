@@ -42,6 +42,104 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 
+def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
+                         k_win: int, n_sub: int, dt0: float, bs):
+    """Shared advection core on VMEM window *values*: per-cell clamped
+    backtrace fractions and hat weights from ``vel_vals`` (computed once —
+    the velocity is the same for every substep), then ``n_sub``
+    windowed-sum substeps with intermediate ``set_bnd`` wall faces.
+    ``start`` is the window's global z origin (traced).  Returns the final
+    f32 field values (pre output-masking).
+
+    Weights/backtrace are f32 even for bf16 storage (coordinates > 256
+    are not exact in bf16); callers convert fields on read/write-back.
+    """
+    f32 = jnp.float32
+    dt0f = jnp.asarray(dt0 / n_sub, f32)
+    kf = jnp.asarray(k_win, f32)
+    n_fields = len(fields_v)
+
+    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2)
+
+    def frac(coord, v):
+        t = coord - dt0f * v
+        t = jnp.maximum(t, 0.5)
+        t = jnp.minimum(t, jnp.asarray(n - 1.5, f32))
+        t = jnp.clip(t, coord - kf, coord + kf)
+        return t - coord
+
+    fx = frac(xg.astype(f32), vel_vals[0])
+    fy = frac(yg.astype(f32), vel_vals[1])
+    fz = frac(zg.astype(f32), vel_vals[2])
+
+    w_sz = 2 * k_win + 1
+
+    def hat(f, d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(f - d.astype(f32)))
+
+    def windowed_sum(fields_v):
+        """Σ over the (2K+1)³ window: nested fori_loops with dynamic
+        pltpu.roll shifts keep Mosaic program size O(1) in K; the inner
+        x loop unrolls statically (static lane rolls vectorize best).
+
+        A fully static 27-term K=1 unroll (with cheap relu-form hats) was
+        tried and rejected: the register allocator keeps too many
+        window-sized values live across the unrolled schedule and spills
+        ~150 MB of VMEM (compile OOM at 128³); the fori structure bounds
+        the live set."""
+
+        def outer(iz, accs):
+            dz = iz - k_win
+            wz = hat(fz, dz)
+            shifted_z = tuple(pltpu.roll(f, (-dz) % p, 0) for f in fields_v)
+
+            def mid(iy, accs):
+                dy = iy - k_win
+                wzy = wz * hat(fy, dy)
+                shifted_zy = tuple(
+                    pltpu.roll(f, (-dy) % n, 1) for f in shifted_z
+                )
+                for dx in range(-k_win, k_win + 1):
+                    w = wzy * hat(fx, jnp.int32(dx))
+                    accs = tuple(
+                        acc + w * pltpu.roll(f, (-dx) % n, 2)
+                        for acc, f in zip(accs, shifted_zy)
+                    )
+                return accs
+
+            return jax.lax.fori_loop(0, w_sz, mid, accs)
+
+        return jax.lax.fori_loop(
+            0, w_sz, outer,
+            tuple(jnp.zeros((p, n, n), f32) for _ in range(n_fields)),
+        )
+
+    def faces(b, v):
+        """Materialize set_bnd wall faces (z→y→x order, mirror-negate for
+        the normal velocity component) on the VMEM window — the
+        intermediate-substep equivalent of the XLA _mask_and_bnd_3d."""
+        sz = -1.0 if b == 3 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sx = -1.0 if b == 1 else 1.0
+        v = jnp.where(zg == 0, sz * pltpu.roll(v, p - 1, 0),
+                      jnp.where(zg == n - 1, sz * pltpu.roll(v, 1, 0), v))
+        v = jnp.where(yg == 0, sy * pltpu.roll(v, n - 1, 1),
+                      jnp.where(yg == n - 1, sy * pltpu.roll(v, 1, 1), v))
+        v = jnp.where(xg == 0, sx * pltpu.roll(v, n - 1, 2),
+                      jnp.where(xg == n - 1, sx * pltpu.roll(v, 1, 2), v))
+        return v
+
+    for s in range(n_sub):
+        fields_v = windowed_sum(fields_v)
+        if s < n_sub - 1:
+            fields_v = tuple(
+                faces(bs[c], f) for c, f in enumerate(fields_v)
+            )
+    return fields_v
+
+
 def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
                    *, n: int, n_fields: int, slab: int, k_win: int,
                    dt0: float, n_sub: int, bs, nbuf: int = 1, n_prog: int = 1,
@@ -116,94 +214,12 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     obuf_slot = obuf.at[slot]
 
     f32 = jnp.float32
-    dt0f = jnp.asarray(dt0 / n_sub, f32)
-    kf = jnp.asarray(k_win, f32)
-
-    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
-    yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
-    xg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2)
-    zi = zg.astype(jnp.float32)
-    yi = yg.astype(jnp.float32)
-    xi = xg.astype(jnp.float32)
-
-    def frac(coord, v):
-        t = coord - dt0f * v
-        t = jnp.maximum(t, 0.5)
-        t = jnp.minimum(t, jnp.asarray(n - 1.5, jnp.float32))
-        t = jnp.clip(t, coord - kf, coord + kf)
-        return t - coord
-
-    # Velocity is the same for every substep → one weight-field setup.
-    # Weights/backtrace are f32 even for bf16 storage (coordinates > 256
-    # are not exact in bf16); fields convert on read and on write-back.
-    fx = frac(xi, vbuf[0].astype(f32))
-    fy = frac(yi, vbuf[1].astype(f32))
-    fz = frac(zi, vbuf[2].astype(f32))
-
-    w_sz = 2 * k_win + 1
-
-    def hat(f, d):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(f - d.astype(jnp.float32)))
-
-    def windowed_sum(fields_v):
-        """Σ over the (2K+1)³ window: nested fori_loops with dynamic
-        pltpu.roll shifts keep Mosaic program size O(1) in K; the inner
-        x loop unrolls statically (static lane rolls vectorize best).
-
-        A fully static 27-term K=1 unroll (with cheap relu-form hats) was
-        tried and rejected: the register allocator keeps too many
-        window-sized values live across the unrolled schedule and spills
-        ~150 MB of VMEM (compile OOM at 128³); the fori structure bounds
-        the live set."""
-
-        def outer(iz, accs):
-            dz = iz - k_win
-            wz = hat(fz, dz)
-            shifted_z = tuple(pltpu.roll(f, (-dz) % p, 0) for f in fields_v)
-
-            def mid(iy, accs):
-                dy = iy - k_win
-                wzy = wz * hat(fy, dy)
-                shifted_zy = tuple(
-                    pltpu.roll(f, (-dy) % n, 1) for f in shifted_z
-                )
-                for dx in range(-k_win, k_win + 1):
-                    w = wzy * hat(fx, jnp.int32(dx))
-                    accs = tuple(
-                        acc + w * pltpu.roll(f, (-dx) % n, 2)
-                        for acc, f in zip(accs, shifted_zy)
-                    )
-                return accs
-
-            return jax.lax.fori_loop(0, w_sz, mid, accs)
-
-        return jax.lax.fori_loop(
-            0, w_sz, outer,
-            tuple(jnp.zeros((p, n, n), f32) for _ in range(n_fields)),
-        )
-
-    def faces(b, v):
-        """Materialize set_bnd wall faces (z→y→x order, mirror-negate for
-        the normal velocity component) on the VMEM window — the
-        intermediate-substep equivalent of the XLA _mask_and_bnd_3d."""
-        sz = -1.0 if b == 3 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sx = -1.0 if b == 1 else 1.0
-        v = jnp.where(zg == 0, sz * pltpu.roll(v, p - 1, 0),
-                      jnp.where(zg == n - 1, sz * pltpu.roll(v, 1, 0), v))
-        v = jnp.where(yg == 0, sy * pltpu.roll(v, n - 1, 1),
-                      jnp.where(yg == n - 1, sy * pltpu.roll(v, 1, 1), v))
-        v = jnp.where(xg == 0, sx * pltpu.roll(v, n - 1, 2),
-                      jnp.where(xg == n - 1, sx * pltpu.roll(v, 1, 2), v))
-        return v
-
-    fields_v = tuple(fbuf[c].astype(f32) for c in range(n_fields))
-    for s in range(n_sub):
-        fields_v = windowed_sum(fields_v)
-        if s < n_sub - 1:
-            fields_v = tuple(
-                faces(bs[c], f) for c, f in enumerate(fields_v)
-            )
+    vel_vals = tuple(vbuf[c].astype(f32) for c in range(3))
+    fields_in = tuple(fbuf[c].astype(f32) for c in range(n_fields))
+    fields_v = _substep_window_vals(
+        fields_in, vel_vals, start=start, n=n, p=p, k_win=k_win,
+        n_sub=n_sub, dt0=dt0, bs=bs,
+    )
 
     for c in range(n_fields):
         obuf_slot[c, :, :, :] = fields_v[c].astype(obuf.dtype)

@@ -328,6 +328,156 @@ def _project_obst_kernel(vel_hbm, obst_hbm, velout_hbm, p_hbm,
                     sems, n=n, iters=iters, obst_hbm=obst_hbm, omask=omask)
 
 
+def _advect_project_kernel(vel_hbm, velout_hbm, p_hbm,
+                           velp, fwin, pb0, pb1, divb, pstag, sems,
+                           *, n: int, slab: int, k_win: int, n_sub: int,
+                           dt0: float, iters: int, n_slabs: int):
+    """Fused velocity self-advection + projection — the whole velocity
+    half of the step in ONE kernel.
+
+    Grid programs run sequentially with persistent scratch, so programs
+    0..n_slabs−1 advect z-slabs (HBM windows in, results into the
+    *persistent full-volume* ``velp``) and program n_slabs applies the
+    advection output masking, computes the divergence, runs all ``iters``
+    Jacobi sweeps, and subtracts the gradient — the advected velocity
+    never round-trips HBM between advection and projection (saves a full
+    write+read of the field at the kernel boundary).
+
+    **Measured result (round 2): bit-exact vs the two-kernel composition
+    but 4× SLOWER on-chip (78 vs 323 steps/s at 128³)** — Mosaic compiles
+    the union of both ``pl.when`` phase bodies into one program, and the
+    combined register pressure/scheduling degrades both phases (cf. the
+    rejected 27-term static unroll, same failure mode).  Kept as a tested
+    reference for when the compiler handles multi-phase programs better;
+    NOT dispatched by the product step.
+    """
+    from .advect import _substep_window_vals
+
+    i = pl.program_id(0)
+    halo = k_win * n_sub
+    p = slab + 2 * halo
+    f32 = jnp.float32
+
+    @pl.when(i < n_slabs)
+    def _advect_phase():
+        z0 = i * slab
+        start = jnp.clip(z0 - halo, 0, n - p)
+        off = z0 - start
+        dma = pltpu.make_async_copy(
+            vel_hbm.at[:, pl.ds(start, p)], fwin, sems.at[0]
+        )
+        dma.start()
+        dma.wait()
+        vel_vals = tuple(fwin[c].astype(f32) for c in range(3))
+        out_vals = _substep_window_vals(
+            vel_vals, vel_vals, start=start, n=n, p=p, k_win=k_win,
+            n_sub=n_sub, dt0=dt0, bs=(1, 2, 3),
+        )
+        for c in range(3):
+            velp[c, pl.ds(z0, slab)] = jax.lax.dynamic_slice(
+                out_vals[c], (off, 0, 0), (slab, n, n)
+            )
+
+    @pl.when(i == n_slabs)
+    def _project_phase():
+        # Advection output contract (_mask_and_bnd_3d, obstacle-free):
+        # fresh-zero borders + set_bnd faces, z→y→x, per component.
+        zy = jnp.zeros((n, 1, n), f32)
+        zx = jnp.zeros((n, n, 1), f32)
+        for c in range(3):
+            velp[c, :, 0:1, :] = zy
+            velp[c, :, n - 1:n, :] = zy
+            velp[c, :, :, 0:1] = zx
+            velp[c, :, :, n - 1:n] = zx
+            sz, sy, sx = _signs(c + 1)
+            _write_faces(velp, n, sz, sy, sx, c=c)
+
+        nf = jnp.asarray(float(n), f32)
+        half = jnp.asarray(0.5, f32)
+        vx, vy, vz = velp[0], velp[1], velp[2]
+        divb[:] = (
+            -half
+            * (
+                (_roll(vx, -1, 2) - _roll(vx, 1, 2))
+                + (_roll(vy, -1, 1) - _roll(vy, 1, 1))
+                + (_roll(vz, -1, 0) - _roll(vz, 1, 0))
+            )
+            / nf
+        )
+
+        pb0[:] = jnp.zeros((n, n, n), f32)
+        inv6 = float(np.float32(1.0) / np.float32(6.0))
+        final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
+                            iters=iters)
+
+        pv = final[:]
+        pstag[:] = pv.astype(pstag.dtype)
+        p_dma = pltpu.make_async_copy(pstag, p_hbm, sems.at[1])
+        p_dma.start()
+
+        out_dmas = []
+        for comp, axis in ((0, 2), (1, 1), (2, 0)):
+            g = half * (_roll(pv, -1, axis) - _roll(pv, 1, axis)) * nf
+            velp[comp] = velp[comp] - g
+            sz, sy, sx = _signs(comp + 1)
+            _write_faces(velp, n, sz, sy, sx, c=comp)
+            dma = pltpu.make_async_copy(
+                velp.at[comp], velout_hbm.at[comp], sems.at[2 + comp]
+            )
+            dma.start()
+            out_dmas.append(dma)
+
+        p_dma.wait()
+        for dma in out_dmas:
+            dma.wait()
+
+
+def advect_project_3d_resident(vel, iters: int, dt: float, *,
+                               window: int = 1, n_sub: int = 1,
+                               interpret: bool = False):
+    """Fused self-advection + projection (obstacle-free, float32).
+    Returns (vel, p) — equal to
+    ``advect_multi_3d_pallas((1,2,3), vel, vel, dt, None, window, n_sub)``
+    followed by ``project_3d_resident(·, iters)``."""
+    n = vel.shape[-1]
+    assert vel.shape == (3, n, n, n)
+    halo = window * n_sub
+    slab = next(s for s in (16, 8)
+                if n % s == 0 and s + 2 * halo <= n)
+    p = slab + 2 * halo
+    dt0 = float(np.float32(dt) * np.float32(n - 2))
+    kernel = functools.partial(
+        _advect_project_kernel, n=n, slab=slab, k_win=window, n_sub=n_sub,
+        dt0=dt0, iters=iters, n_slabs=n // slab,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // slab + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
+            jax.ShapeDtypeStruct((n, n, n), vel.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, n, n, n), jnp.float32),       # velp (persistent)
+            pltpu.VMEM((3, p, n, n), jnp.float32),       # fwin
+            pltpu.VMEM((n, n, n), jnp.float32),          # pb0
+            pltpu.VMEM((n, n, n), jnp.float32),          # pb1
+            pltpu.VMEM((n, n, n), jnp.float32),          # divb
+            pltpu.VMEM((n, n, n), vel.dtype),            # pstag
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(vel)
+
+
 def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
     """Whole-projection-in-VMEM: divergence + ``iters`` Jacobi sweeps +
     gradient subtraction in ONE kernel.  Returns (vel, p).

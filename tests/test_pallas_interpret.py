@@ -140,6 +140,30 @@ def test_project_resident_obstacle_matches_xla():
     )
 
 
+def test_fused_advect_project_matches_composition():
+    """The experimental one-kernel advect+project (persistent-VMEM
+    handoff) is bit-exact vs the two-kernel composition.  It is NOT
+    dispatched by the product step (4× slower compiled — combined-phase
+    register pressure; see its docstring), but stays validated here."""
+    from fluidsim_tpu.pallas.resident import (
+        advect_project_3d_resident,
+        project_3d_resident,
+    )
+
+    dt = 0.03
+    vel = jnp.stack([consistent(b, 110 + b, scale=0.5) for b in (1, 2, 3)])
+    for n_sub, win in ((1, 1), (2, 1)):
+        adv = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, None,
+                                     window=win, n_sub=n_sub,
+                                     interpret=True)
+        ref_v, ref_p = project_3d_resident(adv, 8, interpret=True)
+        got_v, got_p = advect_project_3d_resident(
+            vel, 8, dt, window=win, n_sub=n_sub, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
 def test_project_pallas_matches_xla():
     """Fused div/Jacobi/grad projection equals the XLA projection on
     interior cells and velocity faces (div/p faces are solver-internal)."""
