@@ -52,8 +52,8 @@ def _pallas_usable(cfg: SimConfig) -> bool:
     if cfg.kernel_backend == "pallas" and not ok:
         raise RuntimeError(
             "kernel_backend='pallas' but the Pallas kernels are not usable "
-            "here (need a TPU backend, 128-aligned grid, float32, and "
-            "advect_window > 0)"
+            "here (need a TPU backend, 128-aligned grid, float32/bfloat16 "
+            "fields, and advect_window > 0)"
         )
     return ok
 

@@ -228,21 +228,17 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
         # The output contract (ops.advect._mask_and_bnd_3d, obstacle-free):
         # fresh-zero borders, then set_bnd faces z→y→x.  Done here as
         # slice writes on the out window — saves the caller a full XLA
-        # pass over every field.  y/x borders are local to the window;
-        # global z faces exist only in the first/last program (window
-        # halo planes are outside the shipped slab).
-        zy = jnp.zeros((p, 1, n), obuf.dtype)
-        zx = jnp.zeros((p, n, 1), obuf.dtype)
+        # pass over every field.  The fresh-zero step needs no writes of
+        # its own: every border cell is rewritten by the face passes
+        # below, and every value those passes read is either interior or
+        # produced by an earlier pass (verified value-equal to the XLA
+        # zero-then-faces composition).  y/x faces are local to the
+        # window; global z faces exist only in the first/last program
+        # (window halo planes are outside the shipped slab).
         for c in range(n_fields):
             szf = -1.0 if bs[c] == 3 else 1.0
             syf = -1.0 if bs[c] == 2 else 1.0
             sxf = -1.0 if bs[c] == 1 else 1.0
-            # fresh-zero y/x borders (the z face writes below cover whole
-            # planes, so no separate z zeroing is needed)
-            obuf_slot[c, :, 0:1, :] = zy
-            obuf_slot[c, :, n - 1:n, :] = zy
-            obuf_slot[c, :, :, 0:1] = zx
-            obuf_slot[c, :, :, n - 1:n] = zx
 
             @pl.when(i == 0)
             def _(c=c, szf=szf):

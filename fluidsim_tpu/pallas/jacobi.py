@@ -175,6 +175,14 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     if resident_fits(n, 3):
         return jacobi_3d_resident(b, x, x0, a, c, iters, interpret=interpret)
 
+    if x.dtype != jnp.float32:
+        # Slab kernel scratch is f32; narrow storage upcasts at the edge.
+        out = jacobi_3d_pallas(
+            b, x.astype(jnp.float32), x0.astype(jnp.float32), a, c, iters,
+            block_iters, interpret,
+        )
+        return out.astype(x.dtype)
+
     # Large grids: shrink the temporal block until the windows fit (a
     # smaller T trades HBM passes for less redundant halo compute).
     picked = _pick_block(n, block_iters)

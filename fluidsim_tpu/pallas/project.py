@@ -186,6 +186,15 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     if obst is not None:  # slab kernels are obstacle-free
         return project_3d(vel, obst, iters, use_pallas=not interpret)
 
+    if vel.dtype != jnp.float32:
+        # The slab kernels declare f32 scratch against storage-dtype HBM
+        # operands (a trace-time dtype error otherwise); upcast at the
+        # edge — narrow storage only pays off on the resident path.
+        out_vel, p = project_3d_pallas(
+            vel.astype(jnp.float32), iters, block_iters, interpret
+        )
+        return out_vel.astype(vel.dtype), p.astype(vel.dtype)
+
     slab_div = _pick_slab(n, windows=3 + 1)      # vbuf(3) + obuf(1)
     slab_grad = _pick_slab(n, windows=3 + 1 + 3)  # vbuf+pbuf+obuf
     supported = interpret or (pallas_supported() and n % 128 == 0)

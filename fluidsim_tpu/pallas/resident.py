@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .jacobi import pallas_supported
+from .jacobi import _signs, pallas_supported
 
 try:
     from jax.experimental import pallas as pl
@@ -58,15 +58,6 @@ _VMEM_BUDGET = 100 * 1024 * 1024
 def resident_fits(n: int, nvols: int) -> bool:
     """Whether ``nvols`` full (n,n,n) float32 volumes fit in VMEM scratch."""
     return n % 8 == 0 and n >= 16 and nvols * n * n * n * 4 <= _VMEM_BUDGET
-
-
-def _signs(b: int):
-    """(sz, sy, sx) wall mirror signs for boundary code b (set_bnd_3d)."""
-    return (
-        -1.0 if b == 3 else 1.0,
-        -1.0 if b == 2 else 1.0,
-        -1.0 if b == 1 else 1.0,
-    )
 
 
 def _roll(v, shift, axis):

@@ -93,6 +93,11 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
     if halo == "explicit":
         if cfg.enable_obstacle:
             raise ValueError("halo='explicit' requires enable_obstacle=False")
+        if cfg.pressure_solver == "fft":
+            raise ValueError(
+                "halo='explicit' replaces the Jacobi pressure solve and "
+                "cannot be combined with pressure_solver='fft'"
+            )
         from .halo import jacobi_3d_sharded
 
         def jacobi_fn(p, div, iters):

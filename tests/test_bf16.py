@@ -103,6 +103,26 @@ def test_bf16_resident_projection_matches_f32_oracle():
     )
 
 
+def test_bf16_slab_projection_upcasts(monkeypatch):
+    """Grids too large for the resident kernel route bf16 through the
+    f32 slab pipeline via edge upcasts instead of crashing at trace time
+    (round-2 review finding)."""
+    import fluidsim_tpu.pallas.resident as rr
+    from fluidsim_tpu.pallas.project import project_3d_pallas
+
+    monkeypatch.setattr(rr, "resident_fits", lambda n, v: False)
+    N = 16
+    vel = jnp.stack([
+        set_bnd_3d(b, jax.random.normal(jax.random.PRNGKey(b), (N, N, N),
+                                        jnp.float32), None)
+        for b in (1, 2, 3)
+    ]).astype(jnp.bfloat16)
+    out_vel, p = project_3d_pallas(vel, iters=4, block_iters=2,
+                                   interpret=True)
+    assert out_vel.dtype == jnp.bfloat16 and p.dtype == jnp.bfloat16
+    assert not bool(jnp.isnan(out_vel.astype(jnp.float32)).any())
+
+
 def test_bf16_advect_kernel_matches_f32_oracle():
     from fluidsim_tpu.ops.advect import advect_substep_3d
     from fluidsim_tpu.pallas.advect import advect_multi_3d_pallas
