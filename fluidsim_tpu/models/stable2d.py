@@ -44,10 +44,10 @@ def velocity_step_2d(vel_x, vel_y, obst, dt: float, visc: float, cfg: SimConfig)
     iters = cfg.jacobi_iters
     vx0 = diffuse_2d(1, vel_x, visc, dt, obst, cfg)
     vy0 = diffuse_2d(2, vel_y, visc, dt, obst, cfg)
-    vx0, vy0, _ = project_2d(vx0, vy0, obst, iters)
+    vx0, vy0, _ = project_2d(vx0, vy0, obst, iters, cfg)
     vel_x = advect_2d(1, vx0, vx0, vy0, dt, obst)
     vel_y = advect_2d(2, vy0, vx0, vy0, dt, obst)
-    vel_x, vel_y, pressure = project_2d(vel_x, vel_y, obst, iters)
+    vel_x, vel_y, pressure = project_2d(vel_x, vel_y, obst, iters, cfg)
     return vel_x, vel_y, pressure
 
 

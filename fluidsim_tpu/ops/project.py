@@ -22,8 +22,10 @@ from .boundary import set_bnd_2d, set_bnd_3d
 from .linsolve import lin_solve_2d, jacobi_3d
 
 
-def project_2d(vel_x, vel_y, obst, iters: int = 20):
-    """Returns (vel_x, vel_y, p). Arrays are ``[y, x]``."""
+def project_2d(vel_x, vel_y, obst, iters: int = 20, cfg=None):
+    """Returns (vel_x, vel_y, p). Arrays are ``[y, x]``.  ``cfg`` (when
+    given) enables the whole-solve-in-VMEM kernel for the pressure solve
+    (ops.linsolve.use_2d_kernels)."""
     n = vel_x.shape[0]
     nf = jnp.asarray(n, vel_x.dtype)
     core = (slice(1, -1), slice(1, -1))
@@ -41,7 +43,14 @@ def project_2d(vel_x, vel_y, obst, iters: int = 20):
     div = set_bnd_2d(0, div, obst)
     p = set_bnd_2d(0, jnp.zeros_like(vel_x), obst)
 
-    p = lin_solve_2d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
+    from .linsolve import use_2d_kernels
+
+    if use_2d_kernels(cfg, n, vel_x.dtype) and cfg is not None:
+        from ..pallas.resident2d import lin_solve_2d_resident
+
+        p = lin_solve_2d_resident(0, p, div, 1.0, 6.0, obst, iters)
+    else:
+        p = lin_solve_2d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)
 
     gx = 0.5 * (p[1:-1, 2:] - p[1:-1, :-2]) * nf
     gy = 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1]) * nf

@@ -1,0 +1,194 @@
+"""Whole-grid-in-VMEM 2D Jacobi solves (Pallas TPU) — exact reference
+parity, kernel speed.
+
+The 2D parity mode runs the reference's exact math (FluidSim.cs:1188-1233,
+1235-1289): 160 Jacobi sweeps per step, each bracketed by ``set_bnd``.  At
+the reference's grid sizes (128²–512²) one field is ≤1 MB, so the entire
+solve is VMEM-trivial — but as an XLA graph those ~500 tiny ops per step
+are *per-op-overhead-bound* on TPU (~142 steps/s at 192²).  This kernel
+runs a whole 20/40-sweep solve as ONE program.
+
+Unlike the 3D kernels (which trade a multiply-by-1/c for speed), this
+path is bit-compatible with ``ops.linsolve``'s 2D solvers: true division
+by ``c``, the same neighbor-sum grouping, edge writes excluding corners,
+corner averaging from the just-written edges, and the obstacle mirror's
+exact where/maximum formulation (FluidSim.cs:1243-1288 semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .jacobi import pallas_supported
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def _roll(v, shift, axis):
+    return pltpu.roll(v, shift % v.shape[axis], axis)
+
+
+def _set_bnd_writes(dst, n: int, b: int, omask, pf, nf, mirror_axis):
+    """In-place ``set_bnd_2d``: edge slice writes (corners excluded),
+    corner averages from the just-updated edges, then the obstacle
+    mirror for velocity components.  Bit-faithful to ops.boundary."""
+    sx = -1.0 if b == 1 else 1.0
+    sy = -1.0 if b == 2 else 1.0
+
+    def sc(s, v):
+        return v if s == 1.0 else s * v
+
+    dst[1:n - 1, 0:1] = sc(sx, dst[1:n - 1, 1:2])
+    dst[1:n - 1, n - 1:n] = sc(sx, dst[1:n - 1, n - 2:n - 1])
+    dst[0:1, 1:n - 1] = sc(sy, dst[1:2, 1:n - 1])
+    dst[n - 1:n, 1:n - 1] = sc(sy, dst[n - 2:n - 1, 1:n - 1])
+
+    dst[0:1, 0:1] = 0.5 * (dst[0:1, 1:2] + dst[1:2, 0:1])
+    dst[n - 1:n, 0:1] = 0.5 * (dst[n - 1:n, 1:2] + dst[n - 2:n - 1, 0:1])
+    dst[0:1, n - 1:n] = 0.5 * (dst[0:1, n - 2:n - 1] + dst[1:2, n - 1:n])
+    dst[n - 1:n, n - 1:n] = 0.5 * (
+        dst[n - 1:n, n - 2:n - 1] + dst[n - 2:n - 1, n - 1:n]
+    )
+
+    if mirror_axis is not None:
+        # Interior obstacle cells: negated average of fluid neighbors
+        # along the component axis (ops.boundary._mirror_obstacles_axis).
+        v = dst[:]
+        left = _roll(v, 1, mirror_axis)    # neighbor at idx-1
+        right = _roll(v, -1, mirror_axis)  # neighbor at idx+1
+        total = jnp.where(pf, -left, 0.0) + jnp.where(nf, -right, 0.0)
+        count = pf.astype(v.dtype) + nf.astype(v.dtype)
+        mirrored = jnp.where(
+            count > 0, total / jnp.maximum(count, 1.0), 0.0
+        )
+        dst[:] = jnp.where(omask, mirrored, v)
+
+
+def _solve2d_kernel(x_hbm, x0_hbm, obst_hbm, out_hbm, xb0, xb1, x0s, om,
+                    sems, *, n: int, b: int, a: float, c: float,
+                    iters: int, smooth: bool, with_obst: bool):
+    dmas = [
+        pltpu.make_async_copy(x_hbm, xb0, sems.at[0]),
+        pltpu.make_async_copy(x0_hbm, x0s, sems.at[1]),
+    ]
+    if with_obst:
+        dmas.append(pltpu.make_async_copy(obst_hbm, om, sems.at[2]))
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
+
+    af = jnp.asarray(a, jnp.float32)
+    cf = jnp.asarray(c, jnp.float32)
+
+    if with_obst:
+        omv_i = om[:].astype(jnp.int32)  # Mosaic cannot rotate sub-32-bit
+        omv = omv_i != 0
+        # interior-only mask (the mirror writes only cells with all
+        # coords in 1..n-2; ops.boundary masks via the core slice)
+        zg = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        xg = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        interior = (
+            (zg >= 1) & (zg <= n - 2) & (xg >= 1) & (xg <= n - 2)
+        )
+        om_int = omv & interior
+        mirror_axis = {1: 1, 2: 0}.get(b)
+        if mirror_axis is not None:
+            pf = (_roll(omv_i, 1, mirror_axis) == 0) & om_int
+            nf = (_roll(omv_i, -1, mirror_axis) == 0) & om_int
+        else:
+            pf = nf = None
+    else:
+        om_int = pf = nf = None
+        mirror_axis = None
+
+    def sweep(src, dst):
+        v = src[:]
+        nbr = ((_roll(v, -1, 1) + _roll(v, 1, 1)) + _roll(v, -1, 0)) + \
+            _roll(v, 1, 0)
+        rhs = v if smooth else x0s[:]
+        upd = (rhs + af * nbr) / cf
+        if with_obst:
+            # smooth mode resets obstacle cells to the ORIGINAL x0
+            # (the reference's stale-buffer quirk, FluidSim.cs:1299);
+            # fixed-rhs mode copies the previous iterate.
+            keep = x0s[:] if smooth else v
+            upd = jnp.where(om_int, keep, upd)
+        dst[:] = upd
+        _set_bnd_writes(dst, n, b, om_int, pf, nf, mirror_axis)
+
+    def two(_, carry):
+        sweep(xb0, xb1)
+        sweep(xb1, xb0)
+        return carry
+
+    jax.lax.fori_loop(0, iters // 2, two, 0)
+    if iters % 2:
+        sweep(xb0, xb1)
+        final = xb1
+    else:
+        final = xb0
+
+    out = pltpu.make_async_copy(final, out_hbm, sems.at[3])
+    out.start()
+    out.wait()
+
+
+def lin_solve_2d_resident(b: int, x, x0, a: float, c: float, obst,
+                          iters: int, smooth: bool = False,
+                          interpret: bool = False):
+    """Whole-solve-in-VMEM 2D Jacobi.  ``smooth=False`` is
+    ``ops.linsolve.lin_solve_2d`` (fixed rhs); ``smooth=True`` is
+    ``diffuse_smooth_2d`` (rhs = current iterate, obstacle cells reset to
+    x0).  Bit-compatible with the XLA formulations.
+    """
+    n = x.shape[-1]
+    assert x.shape == (n, n) and x0.shape == (n, n)
+    with_obst = obst is not None
+    kernel = functools.partial(
+        _solve2d_kernel, n=n, b=b, a=float(np.float32(a)),
+        c=float(np.float32(c)), iters=iters, smooth=smooth,
+        with_obst=with_obst,
+    )
+    inputs = [x, x0]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+    if with_obst:
+        inputs.append(obst.astype(jnp.int8))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    else:
+        # placeholder operand so the kernel signature is static
+        inputs.append(jnp.zeros((1, 1), jnp.int8))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n, n), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), jnp.float32),
+            pltpu.VMEM((n, n), jnp.float32),
+            pltpu.VMEM((n, n), jnp.float32),
+            pltpu.VMEM((n, n), jnp.int8) if with_obst
+            else pltpu.VMEM((1, 1), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def resident2d_usable(n: int) -> bool:
+    """TPU backend and a grid whose lane dim tiles reasonably."""
+    return pallas_supported() and n % 8 == 0 and 32 <= n <= 1024

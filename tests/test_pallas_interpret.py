@@ -140,6 +140,42 @@ def test_project_resident_obstacle_matches_xla():
     )
 
 
+def _obst2d(n=64):
+    o = np.zeros((n, n), bool)
+    o[24:34, 28:40] = True
+    return jnp.asarray(o)
+
+
+@pytest.mark.parametrize("b", [0, 1, 2])
+@pytest.mark.parametrize("smooth", [False, True])
+def test_lin_solve_2d_resident_matches_xla(b, smooth):
+    """The whole-solve-in-VMEM 2D kernel is BIT-EXACT vs the XLA
+    reference-parity solvers (true division, corner averaging, obstacle
+    mirror) — required because 2D is the parity path."""
+    from fluidsim_tpu.ops.boundary import set_bnd_2d
+    from fluidsim_tpu.ops.linsolve import diffuse_smooth_2d, lin_solve_2d
+    from fluidsim_tpu.pallas.resident2d import lin_solve_2d_resident
+
+    n = 64
+    obst = _obst2d(n)
+    key = jax.random.PRNGKey(5 * b + (1 if smooth else 0))
+    x = set_bnd_2d(b, jax.random.normal(key, (n, n), jnp.float32), obst)
+    x0 = set_bnd_2d(
+        b, jax.random.normal(jax.random.PRNGKey(99 + b), (n, n),
+                             jnp.float32), obst
+    )
+    a, c = 0.21, float(1 + 6 * 0.21)
+    if smooth:
+        ref = diffuse_smooth_2d(b, x0, a, c, obst, 20)
+        got = lin_solve_2d_resident(b, x0, x0, a, c, obst, 20,
+                                    smooth=True, interpret=True)
+    else:
+        ref = lin_solve_2d(b, x, x0, a, c, obst, 20)
+        got = lin_solve_2d_resident(b, x, x0, a, c, obst, 20,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_fused_advect_project_matches_composition():
     """The experimental one-kernel advect+project (persistent-VMEM
     handoff) is bit-exact vs the two-kernel composition.  It is NOT
