@@ -95,9 +95,10 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         if use_pallas:
             from ..pallas.advect import advect_multi_3d_pallas
 
-            if cfg.advection_scheme == "substep" and obst is None:
+            if cfg.advection_scheme == "substep":
                 # substeps run entirely inside the kernel (fields stay
-                # in VMEM between sub-advections)
+                # in VMEM between sub-advections); obstacles ride along
+                # as an int8 mask window
                 return advect_multi_3d_pallas(
                     bs, fields, velocity, dt, obst, window=win,
                     n_sub=cfg.advect_substeps,

@@ -15,12 +15,15 @@ whole accumulation on-chip — ONE HBM pass regardless of K.
 ``dt/n_sub`` through the same velocity, with the intermediate field's
 ``set_bnd`` wall faces materialized on-chip between substeps — the fields
 never return to HBM until the final write-back.  Halo grows to
-``K·n_sub``.  Obstacle masking stays outside the kernel (the caller's
-``_mask_and_bnd_3d``), so in-kernel substepping requires ``obst=None``.
+``K·n_sub``.
 
-The kernel writes the raw interpolated values; the caller applies the
-fresh-zero-buffer masking + ``set_bnd_3d``, matching the reference's
-advect semantics (FluidSim.cs:1125-1186).
+Obstacles run in-kernel too: the int8 mask window DMAs in alongside the
+fields and every substep applies the full output contract — fresh-zero
+walls/obstacle cells, ``set_bnd`` faces, and the obstacle *mirror* for
+velocity components (the reference's advect + set_bnd semantics,
+FluidSim.cs:1125-1186 + 1261-1287, generalized to 3D) — so no host-side
+masking pass remains on any path.  The mirror reads ±1 neighbors, so the
+halo grows to ``n_sub·(K+1)``.
 """
 
 from __future__ import annotations
@@ -43,13 +46,24 @@ except Exception:  # pragma: no cover
 
 
 def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
-                         k_win: int, n_sub: int, dt0: float, bs):
+                         k_win: int, n_sub: int, dt0: float, bs,
+                         omask=None):
     """Shared advection core on VMEM window *values*: per-cell clamped
     backtrace fractions and hat weights from ``vel_vals`` (computed once —
     the velocity is the same for every substep), then ``n_sub``
     windowed-sum substeps with intermediate ``set_bnd`` wall faces.
     ``start`` is the window's global z origin (traced).  Returns the final
     f32 field values (pre output-masking).
+
+    ``omask`` (optional f32 window of the obstacle mask, nonzero = solid)
+    switches every substep — including the last — to the FULL output
+    contract of ``ops.advect._mask_and_bnd_3d``: fresh-zero walls and
+    obstacle cells, ``set_bnd`` faces, and the obstacle *mirror* for
+    velocity components (``ops.boundary._mirror_obstacles_axis``),
+    all on the VMEM window.  The mirror reads ±1 neighbors, so callers
+    must provision ``halo = n_sub·(k_win+1)`` instead of ``n_sub·k_win``.
+    With ``omask=None`` only wall faces run between substeps and the
+    final masking is left to the caller.
 
     Weights/backtrace are f32 even for bf16 storage (coordinates > 256
     are not exact in bf16); callers convert fields on read/write-back.
@@ -78,6 +92,47 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
 
     def hat(f, d):
         return jnp.maximum(0.0, 1.0 - jnp.abs(f - d.astype(f32)))
+
+    def windowed_sum_k1(fields_v):
+        """K=1 two-tap form (ROADMAP item 4).  With the displacement
+        clamped to [-1, 1], the per-axis hat taps are
+        ``hat(f,-1)=relu(-f), hat(f,0)=1-|f|, hat(f,1)=relu(f)``, so the
+        3-tap sum factors exactly as
+        ``g0 + relu(f)·(g₊−g0) + relu(−f)·(g₋−g0)`` (the weights always
+        sit at the destination cell, so the identity nests per axis:
+        x innermost, then y, then z).  Same math as the 27-term
+        hat-weighted sum, ~30% fewer vector ops: all hat evaluations and
+        wz·wy·wx products disappear and the dx=0/dy=0/dz=0 rolls are
+        free.  Unlike the rejected flat 27-term static unroll, the
+        nested form keeps ≤ ~8F window-sized values live."""
+        fxp, fxm = jnp.maximum(fx, 0.0), jnp.maximum(-fx, 0.0)
+        fyp, fym = jnp.maximum(fy, 0.0), jnp.maximum(-fy, 0.0)
+        fzp, fzm = jnp.maximum(fz, 0.0), jnp.maximum(-fz, 0.0)
+
+        def comb(gm, g0, gp, wp, wm):
+            return g0 + wp * (gp - g0) + wm * (gm - g0)
+
+        def x_interp(h):
+            return tuple(
+                comb(pltpu.roll(f, 1, 2), f, pltpu.roll(f, n - 1, 2),
+                     fxp, fxm)
+                for f in h
+            )
+
+        def yx_interp(g):
+            gm = x_interp(tuple(pltpu.roll(f, 1, 1) for f in g))
+            g0 = x_interp(g)
+            gp = x_interp(tuple(pltpu.roll(f, n - 1, 1) for f in g))
+            return tuple(
+                comb(m, z, pl_, fyp, fym) for m, z, pl_ in zip(gm, g0, gp)
+            )
+
+        am = yx_interp(tuple(pltpu.roll(f, 1, 0) for f in fields_v))
+        a0 = yx_interp(fields_v)
+        ap = yx_interp(tuple(pltpu.roll(f, p - 1, 0) for f in fields_v))
+        return tuple(
+            comb(m, z, pl_, fzp, fzm) for m, z, pl_ in zip(am, a0, ap)
+        )
 
     def windowed_sum(fields_v):
         """Σ over the (2K+1)³ window: nested fori_loops with dynamic
@@ -131,27 +186,80 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
                       jnp.where(xg == n - 1, sx * pltpu.roll(v, 1, 2), v))
         return v
 
+    if omask is not None:
+        solid = omask != 0.0
+        interior = (
+            (zg > 0) & (zg < n - 1)
+            & (yg > 0) & (yg < n - 1)
+            & (xg > 0) & (xg < n - 1)
+        )
+        keep = interior & jnp.logical_not(solid)
+
+        def mirror(v, axis):
+            """Obstacle mirror along one axis — the exact arithmetic of
+            ``ops.boundary._mirror_obstacles_axis`` on the window.  The
+            mask rolls as f32 (Mosaic rotates are 32-bit only)."""
+            size = p if axis == 0 else n
+            oprev = pltpu.roll(omask, 1, axis) != 0.0
+            onxt = pltpu.roll(omask, size - 1, axis) != 0.0
+            total = jnp.where(oprev, 0.0, -pltpu.roll(v, 1, axis)) + (
+                jnp.where(onxt, 0.0, -pltpu.roll(v, size - 1, axis))
+            )
+            count = (
+                jnp.logical_not(oprev).astype(f32)
+                + jnp.logical_not(onxt).astype(f32)
+            )
+            mirrored = jnp.where(
+                count > 0, total / jnp.maximum(count, 1.0), 0.0
+            )
+            return jnp.where(interior & solid, mirrored, v)
+
+        def post(b, v):
+            # _mask_and_bnd_3d: fresh-zero walls + obstacle cells, then
+            # set_bnd_3d = faces (z→y→x) + obstacle mirror (velocity only).
+            v = jnp.where(keep, v, 0.0)
+            v = faces(b, v)
+            if b in (1, 2, 3):
+                v = mirror(v, (None, 2, 1, 0)[b])
+            return v
+    else:
+        post = None
+
+    sum_fn = windowed_sum_k1 if k_win == 1 else windowed_sum
     for s in range(n_sub):
-        fields_v = windowed_sum(fields_v)
-        if s < n_sub - 1:
+        fields_v = sum_fn(fields_v)
+        if post is not None:
+            fields_v = tuple(
+                post(bs[c], f) for c, f in enumerate(fields_v)
+            )
+        elif s < n_sub - 1:
             fields_v = tuple(
                 faces(bs[c], f) for c, f in enumerate(fields_v)
             )
     return fields_v
 
 
-def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
-                   *, n: int, n_fields: int, slab: int, k_win: int,
-                   dt0: float, n_sub: int, bs, nbuf: int = 1, n_prog: int = 1,
-                   fuse_mask: bool = False):
+def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
+                   halo: int, dt0: float, n_sub: int, bs, nbuf: int = 1,
+                   n_prog: int = 1, fuse_mask: bool = False,
+                   has_obst: bool = False):
     """``nbuf=2`` double-buffers across the (sequential) grid programs:
     program i prefetches window i+1's fields+velocity while computing
     window i, and defers each out-DMA's wait to the next reuse of its
     slot — hiding the DMA time (measured ≈ half the kernel) under the
     windowed-sum compute.  ``nbuf=1`` is the serial flow for grids whose
-    doubled windows don't fit VMEM."""
+    doubled windows don't fit VMEM.
+
+    ``has_obst`` adds the int8 obstacle-mask window (``mbuf``); the full
+    per-substep output contract (zero + faces + obstacle mirror) then
+    runs in-kernel — see ``_substep_window_vals``."""
+    if has_obst:
+        (fields_hbm, vel_hbm, obst_hbm, out_hbm,
+         fbuf, vbuf, mbuf, obuf, sems) = refs
+    else:
+        fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems = refs
+        obst_hbm = mbuf = None
     i = pl.program_id(0)
-    halo = k_win * n_sub
     p = slab + 2 * halo
     z0 = i * slab
 
@@ -160,7 +268,7 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
 
     def in_dmas(slot, j):
         s = win_start(j)
-        return (
+        dmas = (
             pltpu.make_async_copy(
                 fields_hbm.at[:, pl.ds(s, p)], fbuf.at[slot],
                 sems.at[0, slot],
@@ -169,6 +277,14 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
                 vel_hbm.at[:, pl.ds(s, p)], vbuf.at[slot], sems.at[1, slot]
             ),
         )
+        if has_obst:
+            dmas += (
+                pltpu.make_async_copy(
+                    obst_hbm.at[pl.ds(s, p)], mbuf.at[slot],
+                    sems.at[3, slot],
+                ),
+            )
+        return dmas
 
     def out_dma(slot, j):
         s = win_start(j)
@@ -216,9 +332,10 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
     f32 = jnp.float32
     vel_vals = tuple(vbuf[c].astype(f32) for c in range(3))
     fields_in = tuple(fbuf[c].astype(f32) for c in range(n_fields))
+    omask = mbuf.at[slot][...].astype(f32) if has_obst else None
     fields_v = _substep_window_vals(
         fields_in, vel_vals, start=start, n=n, p=p, k_win=k_win,
-        n_sub=n_sub, dt0=dt0, bs=bs,
+        n_sub=n_sub, dt0=dt0, bs=bs, omask=omask,
     )
 
     for c in range(n_fields):
@@ -280,15 +397,15 @@ def _advect_kernel(fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems,
         mine.wait()
 
 
-def _pick_slab(n: int, n_fields: int, halo: int):
+def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
     """Returns (slab, nbuf).  The VMEM model is *total* footprint:
-    declared buffers (nbuf·(2F+3) windows) plus the kernel's live
-    temporaries + register-allocator spill slots, which measure ≈28
-    window-equivalents on the compiled kernel (103 MB total at 128³/
-    slab 32/nbuf 2; a 16-plane pick at 256³ spilled 145 MB and OOM'd the
-    128 MB VMEM).  Prefers the double-buffered variant (nbuf=2: prefetch
-    + deferred out-DMA waits — DMA is ~half the serial kernel's time);
-    falls back to single-buffered, then to XLA (512³)."""
+    declared buffers (nbuf·(2F+3) windows, plus nbuf·¼ for the int8 mask)
+    plus the kernel's live temporaries + register-allocator spill slots,
+    which measure ≈28 window-equivalents on the compiled kernel (103 MB
+    total at 128³/slab 32/nbuf 2; a 16-plane pick at 256³ spilled 145 MB
+    and OOM'd the 128 MB VMEM).  Prefers the double-buffered variant
+    (nbuf=2: prefetch + deferred out-DMA waits — DMA is ~half the serial
+    kernel's time); falls back to single-buffered, then to XLA (512³)."""
     plane = n * n * 4
     budget = 120 * 1024 * 1024
     for nbuf in (2, 1):
@@ -296,7 +413,13 @@ def _pick_slab(n: int, n_fields: int, halo: int):
             if n % slab:
                 continue
             p = slab + 2 * halo
-            need = (nbuf * (2 * n_fields + 3) + 28) * p * plane
+            # Obstacles: nbuf int8 mask windows (≈¼ each, counted as 1)
+            # plus ~6 window-equivalents of live mirror temporaries
+            # (f32 mask rolls, neighbor-value rolls, totals) — the
+            # (32, nbuf=2, halo=4) pick at 128³/K=3 OOM'd the compile
+            # without this term.
+            mask_w = (nbuf + 6) if has_obst else 0
+            need = (nbuf * (2 * n_fields + 3) + mask_w + 28) * p * plane
             if need <= budget and p <= n:
                 return slab, nbuf
     return None
@@ -306,19 +429,15 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
                            window: int = 2, n_sub: int = 1,
                            interpret: bool = False):
     """Pallas drop-in for ``ops.advect.advect_multi_3d`` (windowed mode)
-    and, with ``n_sub > 1``, for ``advect_substep_3d`` (obstacle-free).
+    and, with ``n_sub > 1``, for ``advect_substep_3d`` — with or without
+    obstacles (the mask rides along as an int8 window).
 
     Falls back to the XLA path when unsupported (non-TPU backend, grids
-    whose lane dim isn't 128-aligned, VMEM-infeasible shapes, or
-    obstacles with n_sub > 1).  ``interpret=True`` runs the kernel in the
-    Pallas interpreter (CPU tests; skips the backend check, keeps the
-    shape checks).
+    whose lane dim isn't 128-aligned, or VMEM-infeasible shapes).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    tests; skips the backend check, keeps the shape checks).
     """
-    from ..ops.advect import (
-        _mask_and_bnd_3d,
-        advect_multi_3d,
-        advect_substep_3d,
-    )
+    from ..ops.advect import advect_multi_3d, advect_substep_3d
 
     def xla_fallback():
         if n_sub > 1:
@@ -328,50 +447,52 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
 
     n = fields.shape[-1]
     n_fields = fields.shape[0]
-    halo = window * n_sub
-    picked = _pick_slab(n, n_fields, halo)
+    has_obst = obst is not None
+    # The per-substep obstacle mirror reads ±1 neighbors, eroding one
+    # extra halo plane per substep on top of the K-cell windowed sum.
+    halo = n_sub * (window + 1) if has_obst else window * n_sub
+    picked = _pick_slab(n, n_fields, halo, has_obst)
     supported = interpret or (pallas_supported() and n % 128 == 0)
-    if not supported or picked is None or (n_sub > 1 and obst is not None):
+    if not supported or picked is None:
         return xla_fallback()
 
     slab, nbuf = picked
     p = slab + 2 * halo
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
-    fuse_mask = obst is None
     kernel = functools.partial(
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
-        dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf, n_prog=n // slab,
-        fuse_mask=fuse_mask,
+        halo=halo, dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf,
+        n_prog=n // slab, fuse_mask=not has_obst, has_obst=has_obst,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + has_obst)
+    scratch = [
+        pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
+        pltpu.VMEM((nbuf, 3, p, n, n), vel.dtype),
+    ]
+    if has_obst:
+        scratch.append(pltpu.VMEM((nbuf, p, n, n), jnp.int8))
+    scratch += [
+        pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
+        pltpu.SemaphoreType.DMA((4 if has_obst else 3, nbuf)),
+    ]
+    operands = (fields, vel) + (
+        (obst.astype(jnp.int8),) if has_obst else ()
     )
     vals = pl.pallas_call(
         kernel,
         grid=(n // slab,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_fields, n, n, n), fields.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
-            pltpu.VMEM((nbuf, 3, p, n, n), vel.dtype),
-            pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
-            pltpu.SemaphoreType.DMA((3, nbuf)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(fields, vel)
+    )(*operands)
 
-    if fuse_mask:
-        # fresh-zero + set_bnd were applied in-kernel (slice writes on the
-        # out window) — no host-side masking pass needed.
-        return vals
-    return jnp.stack(
-        [
-            _mask_and_bnd_3d(b, vals[c], fields[c], obst)
-            for c, b in enumerate(bs)
-        ]
-    )
+    # The full output contract ran in-kernel: fresh-zero + set_bnd faces
+    # as slice writes on the out window (fuse_mask, no obstacles), or
+    # zero + faces + obstacle mirror per substep (has_obst).
+    return vals

@@ -1,13 +1,25 @@
 """Explicit halo exchange over ICI (``shard_map`` + ``ppermute``).
 
 The slab-decomposed Jacobi sweep needs each shard's top/bottom neighbor
-plane every iteration.  This module implements the exchange explicitly —
-one ``ppermute`` up, one down, per iteration — which is the structure the
-multi-chip Pallas kernels (RDMA edge-plane sends) drop into, and a
-reference for what XLA's auto-partitioner must match.
+plane every iteration.  This module implements the exchange explicitly,
+two ways:
 
-All functions here run **inside** ``shard_map`` over a 1-D mesh axis; the
-global z extent is ``n_dev · local_z``.
+* ``block_iters=1`` — one single-plane ``ppermute`` up and down per sweep
+  (the minimal-traffic schedule; latency-bound on real ICI at one
+  exchange per sweep).
+* ``block_iters=T>1`` — **communication-avoiding deep halo**: exchange a
+  T-plane halo once per T sweeps.  A T-deep halo covers the dependency
+  cone of T Jacobi sweeps exactly (each sweep's stencil erodes one plane
+  of halo validity), so the result is *identical* to the per-sweep
+  schedule — T× fewer ICI round-trips for 2·T·N² exchanged bytes per
+  round (same total bytes, amortized latency) at the cost of
+  O(T²·N²/lz) redundant halo compute.  This is the classic
+  communication-avoiding stencil trade, and the schedule the multi-chip
+  Pallas kernels (RDMA edge-slab sends overlapped with interior sweeps)
+  drop into.
+
+All solver functions here run **inside** ``shard_map`` over a 1-D mesh
+axis; the global z extent is ``n_dev · local_z``.
 """
 
 from __future__ import annotations
@@ -19,56 +31,59 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def halo_exchange_z(x_local, axis_name: str = "z"):
-    """Return (below, above): the neighbor edge planes of this shard.
+def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1):
+    """Return (below, above): the neighbor edge slabs of this shard.
 
-    ``below[j,y,x]`` is the last z-plane of the shard below (or zeros at the
-    global bottom); ``above`` the first plane of the shard above (zeros at
-    the global top).  Single-plane ``ppermute`` in each direction — 2·N²·4
-    bytes per step over ICI.
+    ``below[j,y,x]`` holds the last ``depth`` z-planes of the shard below
+    (zeros at the global bottom); ``above`` the first ``depth`` planes of
+    the shard above (zeros at the global top).  One ``ppermute`` in each
+    direction — 2·depth·N²·4 bytes per call over ICI.
     """
     n_dev = jax.lax.axis_size(axis_name)
-    top_plane = x_local[-1:]      # sent upward (to rank+1)
-    bot_plane = x_local[:1]       # sent downward (to rank-1)
+    top_slab = x_local[-depth:]   # sent upward (to rank+1)
+    bot_slab = x_local[:depth]    # sent downward (to rank-1)
     up = [(i, i + 1) for i in range(n_dev - 1)]
     down = [(i + 1, i) for i in range(n_dev - 1)]
-    below = jax.lax.ppermute(top_plane, axis_name, up)      # from rank-1
-    above = jax.lax.ppermute(bot_plane, axis_name, down)    # from rank+1
+    below = jax.lax.ppermute(top_slab, axis_name, up)      # from rank-1
+    above = jax.lax.ppermute(bot_slab, axis_name, down)    # from rank+1
     return below, above
 
 
-def _local_sweep(b, x_local, x0_local, below, above, a, c, rank, n_dev):
-    """One Jacobi update on a z-slab given neighbor halo planes.
-
-    Wall faces (global z=0/N−1, all y/x walls) are rewritten from interior
-    values exactly like the single-device ``set_bnd_3d`` face pass, with
-    the mirror-negate sign for the velocity component normal to each wall
-    (``b``: 0 scalar, 1 = vx, 2 = vy, 3 = vz).
+def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
+    """One Jacobi update on a halo-extended z-slab ``xp`` of shape
+    ``(lz + 2·halo, N, N)``.  Updates every interior plane of the extended
+    array (halo planes erode one per sweep — callers run at most ``halo``
+    sweeps between exchanges), then rewrites wall faces exactly like the
+    single-device ``set_bnd_3d`` face pass: global z faces (ext indices
+    ``halo`` / ``halo+lz−1``) only on the first/last shard, y/x faces on
+    every plane, z → y → x order, with the mirror-negate sign for the
+    velocity component normal to each wall (``b``: 0 scalar, 1 = vx,
+    2 = vy, 3 = vz).
     """
     sz = -1.0 if b == 3 else 1.0
     sy = -1.0 if b == 2 else 1.0
     sx = -1.0 if b == 1 else 1.0
-    lz = x_local.shape[0]
-    xp = jnp.concatenate([below, x_local, above], axis=0)  # (lz+2, N, N)
 
     nbr = (
         ((xp[1:-1, 1:-1, 2:] + xp[1:-1, 1:-1, :-2])
          + (xp[1:-1, 2:, 1:-1] + xp[1:-1, :-2, 1:-1]))
         + (xp[2:, 1:-1, 1:-1] + xp[:-2, 1:-1, 1:-1])
     )
-    upd = (x0_local[:, 1:-1, 1:-1] + a * nbr) / c
-    out = jax.lax.pad(upd, jnp.asarray(0.0, x_local.dtype),
-                      [(0, 0, 0), (1, 1, 0), (1, 1, 0)])
+    upd = (x0_ext[1:-1, 1:-1, 1:-1] + a * nbr) / c
+    out = jax.lax.pad(upd, jnp.asarray(0.0, xp.dtype),
+                      [(1, 1, 0), (1, 1, 0), (1, 1, 0)])
 
     # Wall faces in the exact set_bnd_3d order (z → y → x).
-    # Global z faces exist only on the first/last shard.
+    # Global z faces exist only on the first/last shard, at extended
+    # indices halo / halo+lz−1.
     is_bottom = rank == 0
     is_top = rank == n_dev - 1
     zidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
     zlow = sz * jnp.concatenate([out[1:2], out[2:], out[-1:]], axis=0)
     zhigh = sz * jnp.concatenate([out[:1], out[:-2], out[-2:-1]], axis=0)
-    out = jnp.where(jnp.logical_and(is_bottom, zidx == 0), zlow, out)
-    out = jnp.where(jnp.logical_and(is_top, zidx == lz - 1), zhigh, out)
+    out = jnp.where(jnp.logical_and(is_bottom, zidx == halo), zlow, out)
+    out = jnp.where(jnp.logical_and(is_top, zidx == halo + lz - 1),
+                    zhigh, out)
 
     n = out.shape[1]
     yidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
@@ -89,14 +104,29 @@ def _local_sweep(b, x_local, x0_local, below, above, a, c, rank, n_dev):
 
 
 def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
-                      mesh: Mesh, axis_name: str = "z", b: int = 0):
-    """Slab-sharded fixed-rhs Jacobi with explicit per-iteration halo
-    exchange.  ``x``/``x0`` are global ``[z, y, x]`` arrays (sharded or
-    not); result matches the no-obstacle single-device ``jacobi_3d``.
+                      mesh: Mesh, axis_name: str = "z", b: int = 0,
+                      block_iters: int = 1):
+    """Slab-sharded fixed-rhs Jacobi with explicit halo exchange.
+    ``x``/``x0`` are global ``[z, y, x]`` arrays (sharded or not); the
+    result matches the no-obstacle single-device ``jacobi_3d`` for any
+    ``block_iters`` (a T-deep halo covers the dependency cone of T
+    sweeps exactly — see module docstring).
 
     ``b`` selects the wall rule exactly as in ``set_bnd_3d`` (0 scalar,
     1/2/3 = velocity component normal to the x/y/z walls).
+    ``block_iters`` (T) sets the exchange cadence: T-plane halos every T
+    sweeps instead of 1-plane halos every sweep.  Requires
+    ``iters % T == 0`` and T ≤ the local slab depth.
     """
+    T = int(block_iters)
+    if iters % T:
+        raise ValueError(f"iters={iters} not divisible by block_iters={T}")
+    n_shards = mesh.shape[axis_name]
+    lz_global = x.shape[0] // n_shards
+    if T > lz_global:
+        raise ValueError(
+            f"block_iters={T} exceeds the local slab depth {lz_global}"
+        )
     spec = P(axis_name, None, None)
 
     @functools.partial(
@@ -106,12 +136,22 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
     def run(x_local, x0_local):
         rank = jax.lax.axis_index(axis_name)
         n_dev = jax.lax.axis_size(axis_name)
+        lz = x_local.shape[0]
 
-        def body(_, xl):
-            below, above = halo_exchange_z(xl, axis_name)
-            return _local_sweep(b, xl, x0_local, below, above, a, c,
-                                rank, n_dev)
+        # The rhs never changes: exchange its halo once for all rounds.
+        x0b, x0a = halo_exchange_z(x0_local, axis_name, T)
+        x0_ext = jnp.concatenate([x0b, x0_local, x0a], axis=0)
 
-        return jax.lax.fori_loop(0, iters, body, x_local)
+        def round_body(_, xl):
+            below, above = halo_exchange_z(xl, axis_name, T)
+            xp = jnp.concatenate([below, xl, above], axis=0)
+
+            def sweep(_, xp):
+                return _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, T, lz)
+
+            xp = jax.lax.fori_loop(0, T, sweep, xp)
+            return jax.lax.slice_in_dim(xp, T, T + lz, axis=0)
+
+        return jax.lax.fori_loop(0, iters // T, round_body, x_local)
 
     return run(x, x0)

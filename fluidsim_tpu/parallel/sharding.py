@@ -63,7 +63,7 @@ def shard_state(state: FluidState, mesh: Mesh, axis_name: str = "z") -> FluidSta
 
 def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                     n_substeps: int = 1, with_source: bool = True,
-                    halo: str = "auto"):
+                    halo: str = "auto", halo_block_iters: int = 1):
     """Compile the full 3D step for a slab-sharded state.
 
     ``halo`` selects the stencil-communication strategy for the pressure
@@ -77,7 +77,10 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
       ``parallel.halo.jacobi_3d_sharded``: hand-written ``shard_map`` +
       per-sweep ``ppermute`` edge-plane exchange.  Same numerics (tested);
       this is the staging ground for RDMA-halo Pallas kernels.  Requires
-      ``enable_obstacle=False``.
+      ``enable_obstacle=False``.  ``halo_block_iters=T>1`` switches the
+      exchange cadence to the communication-avoiding schedule (T-deep
+      halos every T sweeps — identical results, T× fewer ICI
+      round-trips; see ``parallel.halo``).
 
     ``n_substeps > 1`` rolls steps into one program via ``lax.scan`` so
     halo exchanges pipeline with compute.
@@ -102,7 +105,8 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
 
         def jacobi_fn(p, div, iters):
             return jacobi_3d_sharded(p, div, 1.0, 6.0, iters, mesh,
-                                     axis_name, b=0)
+                                     axis_name, b=0,
+                                     block_iters=halo_block_iters)
 
     sh = state_sharding(mesh, axis_name)
     dt = np.float32(cfg.effective_params()[0])

@@ -102,6 +102,54 @@ def _box_obst():
     return jnp.asarray(obst)
 
 
+def test_advect_pallas_velocity_obstacle_mirror():
+    """Velocity advection with obstacles: the in-kernel output contract
+    (zero + faces + obstacle mirror per component) equals the XLA
+    composition — including the set_bnd obstacle mirror."""
+    fields = jnp.stack([consistent(b, 70 + b, scale=2.0) for b in (1, 2, 3)])
+    vel = jnp.stack([consistent(b, 80 + b, scale=0.3) for b in (1, 2, 3)])
+    obst = _box_obst()
+    ref = advect_multi_3d((1, 2, 3), fields, vel, 0.02, obst, window=2)
+    got = advect_multi_3d_pallas((1, 2, 3), fields, vel, 0.02, obst,
+                                 window=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_advect_pallas_insub_obstacles_matches_xla_substep():
+    """In-kernel substepping WITH obstacles (round-2: the mask window
+    rides along; zero+faces+mirror run per substep on-chip) equals the
+    XLA substep composition."""
+    from fluidsim_tpu.ops.advect import advect_substep_3d
+
+    fields = jnp.stack([consistent(b, 90 + b, scale=2.0) for b in (1, 2, 3)])
+    vel = jnp.stack([consistent(b, 95 + b, scale=0.3) for b in (1, 2, 3)])
+    obst = _box_obst()
+    dt = 0.03
+    ref = advect_substep_3d((1, 2, 3), fields, vel, dt, obst, window=1,
+                            n_sub=2)
+    got = advect_multi_3d_pallas((1, 2, 3), fields, vel, dt, obst, window=1,
+                                 n_sub=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_advect_pallas_insub_obstacles_density():
+    from fluidsim_tpu.ops.advect import advect_substep_3d
+
+    d = consistent(0, 99, scale=3.0)[None]
+    vel = jnp.stack([consistent(b, 96 + b, scale=0.3) for b in (1, 2, 3)])
+    obst = _box_obst()
+    ref = advect_substep_3d((0,), d, vel, 0.03, obst, window=1, n_sub=2)
+    got = advect_multi_3d_pallas((0,), d, vel, 0.03, obst, window=1,
+                                 n_sub=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5
+    )
+
+
 def test_jacobi_resident_obstacle_matches_xla():
     """Obstacle copy-through folded into the resident kernel (VERDICT r1
     item 5) equals the XLA oracle's masked sweep."""

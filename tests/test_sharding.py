@@ -46,6 +46,67 @@ def test_sharded_jacobi_matches_single_device(b):
     )
 
 
+@pytest.mark.parametrize("b", [0, 3])
+@pytest.mark.parametrize("block_iters", [2, 4])
+def test_deep_halo_jacobi_matches_per_sweep(b, block_iters):
+    """Communication-avoiding schedule (T-deep halos every T sweeps) is
+    EXACT: a T-deep halo covers the dependency cone of T sweeps, so the
+    result is bitwise-equal to the per-sweep-exchange schedule (which in
+    turn matches the single-device solver)."""
+    n = 32
+    x = jax.random.normal(jax.random.PRNGKey(2), (n, n, n), jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (n, n, n), jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+
+    per_sweep = jacobi_3d_sharded(x, x0, 1.0, 6.0, 20, mesh, b=b,
+                                  block_iters=1)
+    deep = jacobi_3d_sharded(x, x0, 1.0, 6.0, 20, mesh, b=b,
+                             block_iters=block_iters)
+    np.testing.assert_array_equal(np.asarray(deep), np.asarray(per_sweep))
+
+    single = jacobi_3d(b, x, x0, 1.0, 6.0, None, iters=20)
+    np.testing.assert_allclose(
+        np.asarray(deep), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_deep_halo_validation():
+    mesh = make_mesh(jax.devices()[:8])
+    x = jnp.zeros((32, 32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        jacobi_3d_sharded(x, x, 1.0, 6.0, 20, mesh, block_iters=3)
+    with pytest.raises(ValueError, match="local slab depth"):
+        # 32/8 = 4 local planes; a 5-deep halo would need next-nearest
+        # neighbors.
+        jacobi_3d_sharded(x, x, 1.0, 6.0, 20, mesh, block_iters=5)
+
+
+def test_sharded_step_explicit_deep_halo_matches_auto():
+    """The product step with the communication-avoiding exchange cadence
+    (halo_block_iters=4) equals the auto-partitioned path."""
+    cfg = cfg3d(enable_obstacle=False)
+    state = fs.zeros_state(cfg)
+
+    mesh = make_mesh(jax.devices()[:8])
+    s_auto = shard_state(state, mesh)
+    s_deep = shard_state(state, mesh)
+    step_auto = sharded_step_fn(cfg, mesh, halo="auto")
+    step_deep = sharded_step_fn(cfg, mesh, halo="explicit",
+                                halo_block_iters=4)
+    for _ in range(3):
+        s_auto = step_auto(s_auto)
+        s_deep = step_deep(s_deep)
+
+    np.testing.assert_allclose(
+        np.asarray(s_deep.density), np.asarray(s_auto.density),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_deep.velocity), np.asarray(s_auto.velocity),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_sharded_step_matches_single_device(n_dev):
     cfg = cfg3d()
