@@ -354,7 +354,14 @@ def preset_vortex_128() -> SimConfig:
         obstacle_position=(0.5, 0.45, 0.5),
         obstacle_radius=0.08,
         jacobi_iters=20,
-        advect_window=3,
+        # Substepped advection: 3 sub-advections of dt/3 with a 1-cell
+        # window cover the same 3-cell CFL displacement as one K=3
+        # backtrace with 3·27 two-tap terms instead of 343 hat terms;
+        # substeps + obstacle masking all run inside one kernel
+        # (pallas/advect.py; measured steps/s in docs/KERNELS.md).
+        advection_scheme="substep",
+        advect_window=1,
+        advect_substeps=3,
     ).validate()
 
 
@@ -384,7 +391,11 @@ def preset_multi_emitter_256() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=20,
-        advect_window=2,
+        # 2 × K=1 substeps ≡ the 2-cell CFL envelope of one K=2
+        # backtrace, at 2·(two-tap) cost instead of 125 hat terms.
+        advection_scheme="substep",
+        advect_window=1,
+        advect_substeps=2,
     ).validate()
 
 
@@ -406,7 +417,11 @@ def preset_sharded_512() -> SimConfig:
         enable_obstacle=False,
         obstacle_position=(0.5, 0.5, 0.5),
         jacobi_iters=20,
-        advect_window=2,
+        # K=1 × 2 substeps: lets the y-tiled advect kernel (1 MB planes
+        # exceed full-width VMEM windows at 512³) use the two-tap form.
+        advection_scheme="substep",
+        advect_window=1,
+        advect_substeps=2,
     ).validate()
 
 

@@ -47,7 +47,7 @@ except Exception:  # pragma: no cover
 
 def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
                          k_win: int, n_sub: int, dt0: float, bs,
-                         omask=None):
+                         omask=None, ystart=0, py: int | None = None):
     """Shared advection core on VMEM window *values*: per-cell clamped
     backtrace fractions and hat weights from ``vel_vals`` (computed once —
     the velocity is the same for every substep), then ``n_sub``
@@ -65,17 +65,23 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
     With ``omask=None`` only wall faces run between substeps and the
     final masking is left to the caller.
 
+    ``ystart``/``py``: y-tiled windows (grids whose full-width planes
+    don't fit VMEM, e.g. 512³).  The window is ``(p, py, n)`` with global
+    y origin ``ystart`` (traced); defaults are the full-width window.
+
     Weights/backtrace are f32 even for bf16 storage (coordinates > 256
     are not exact in bf16); callers convert fields on read/write-back.
     """
+    if py is None:
+        py = n
     f32 = jnp.float32
     dt0f = jnp.asarray(dt0 / n_sub, f32)
     kf = jnp.asarray(k_win, f32)
     n_fields = len(fields_v)
 
-    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
-    yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
-    xg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2)
+    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 0)
+    yg = ystart + jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 2)
 
     def frac(coord, v):
         t = coord - dt0f * v
@@ -122,7 +128,7 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
         def yx_interp(g):
             gm = x_interp(tuple(pltpu.roll(f, 1, 1) for f in g))
             g0 = x_interp(g)
-            gp = x_interp(tuple(pltpu.roll(f, n - 1, 1) for f in g))
+            gp = x_interp(tuple(pltpu.roll(f, py - 1, 1) for f in g))
             return tuple(
                 comb(m, z, pl_, fyp, fym) for m, z, pl_ in zip(gm, g0, gp)
             )
@@ -154,7 +160,7 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
                 dy = iy - k_win
                 wzy = wz * hat(fy, dy)
                 shifted_zy = tuple(
-                    pltpu.roll(f, (-dy) % n, 1) for f in shifted_z
+                    pltpu.roll(f, (-dy) % py, 1) for f in shifted_z
                 )
                 for dx in range(-k_win, k_win + 1):
                     w = wzy * hat(fx, jnp.int32(dx))
@@ -168,7 +174,7 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
 
         return jax.lax.fori_loop(
             0, w_sz, outer,
-            tuple(jnp.zeros((p, n, n), f32) for _ in range(n_fields)),
+            tuple(jnp.zeros((p, py, n), f32) for _ in range(n_fields)),
         )
 
     def faces(b, v):
@@ -180,7 +186,7 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
         sx = -1.0 if b == 1 else 1.0
         v = jnp.where(zg == 0, sz * pltpu.roll(v, p - 1, 0),
                       jnp.where(zg == n - 1, sz * pltpu.roll(v, 1, 0), v))
-        v = jnp.where(yg == 0, sy * pltpu.roll(v, n - 1, 1),
+        v = jnp.where(yg == 0, sy * pltpu.roll(v, py - 1, 1),
                       jnp.where(yg == n - 1, sy * pltpu.roll(v, 1, 1), v))
         v = jnp.where(xg == 0, sx * pltpu.roll(v, n - 1, 2),
                       jnp.where(xg == n - 1, sx * pltpu.roll(v, 1, 2), v))
@@ -199,7 +205,7 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
             """Obstacle mirror along one axis — the exact arithmetic of
             ``ops.boundary._mirror_obstacles_axis`` on the window.  The
             mask rolls as f32 (Mosaic rotates are 32-bit only)."""
-            size = p if axis == 0 else n
+            size = (p, py, n)[axis]
             oprev = pltpu.roll(omask, 1, axis) != 0.0
             onxt = pltpu.roll(omask, size - 1, axis) != 0.0
             total = jnp.where(oprev, 0.0, -pltpu.roll(v, 1, axis)) + (
@@ -242,7 +248,7 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
 def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
                    halo: int, dt0: float, n_sub: int, bs, nbuf: int = 1,
                    n_prog: int = 1, fuse_mask: bool = False,
-                   has_obst: bool = False):
+                   has_obst: bool = False, tile_y: int | None = None):
     """``nbuf=2`` double-buffers across the (sequential) grid programs:
     program i prefetches window i+1's fields+velocity while computing
     window i, and defers each out-DMA's wait to the next reuse of its
@@ -252,79 +258,107 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
 
     ``has_obst`` adds the int8 obstacle-mask window (``mbuf``); the full
     per-substep output contract (zero + faces + obstacle mirror) then
-    runs in-kernel — see ``_substep_window_vals``."""
+    runs in-kernel — see ``_substep_window_vals``.
+
+    ``tile_y``: y-tiled windows for grids whose full-width z-slabs exceed
+    VMEM (512³: 1 MB planes).  The flat 1-D grid covers z-slab × y-tile
+    pairs (y fastest, so the double-buffer prefetch logic is unchanged);
+    each window is ``(p, tile_y + 2·halo_y, n)`` with its own y halo and
+    clipped y origin, mirroring the z handling exactly.  ``halo_y`` is
+    the semantic halo rounded up to a multiple of 8: Mosaic requires HBM
+    slice shapes/offsets on the sublane dimension to be 8-aligned, and
+    extra halo rows are simply more valid data (every formula is
+    global-position-based)."""
     if has_obst:
         (fields_hbm, vel_hbm, obst_hbm, out_hbm,
          fbuf, vbuf, mbuf, obuf, sems) = refs
     else:
         fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems = refs
         obst_hbm = mbuf = None
-    i = pl.program_id(0)
+    idx = pl.program_id(0)
     p = slab + 2 * halo
+    ty = n if tile_y is None else tile_y
+    n_ty = n // ty
+    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
+    py = n if n_ty == 1 else ty + 2 * halo_y
+
+    i = idx // n_ty       # z-slab index
+    jy = idx % n_ty       # y-tile index
     z0 = i * slab
 
     def win_start(j):
         return jnp.clip(j * slab - halo, 0, n - p)
 
+    def win_start_y8(j):
+        # In units of 8 rows, scaled by 8 at use sites — Mosaic's
+        # divisibility prover needs sublane slice offsets in explicit
+        # 8·k form (ty, halo_y, py are all multiples of 8).
+        return jnp.clip(j * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
+
     def in_dmas(slot, j):
-        s = win_start(j)
+        s = win_start(j // n_ty)
+        sy = 8 * win_start_y8(j % n_ty)
         dmas = (
             pltpu.make_async_copy(
-                fields_hbm.at[:, pl.ds(s, p)], fbuf.at[slot],
+                fields_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], fbuf.at[slot],
                 sems.at[0, slot],
             ),
             pltpu.make_async_copy(
-                vel_hbm.at[:, pl.ds(s, p)], vbuf.at[slot], sems.at[1, slot]
+                vel_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], vbuf.at[slot],
+                sems.at[1, slot],
             ),
         )
         if has_obst:
             dmas += (
                 pltpu.make_async_copy(
-                    obst_hbm.at[pl.ds(s, p)], mbuf.at[slot],
+                    obst_hbm.at[pl.ds(s, p), pl.ds(sy, py)], mbuf.at[slot],
                     sems.at[3, slot],
                 ),
             )
         return dmas
 
     def out_dma(slot, j):
-        s = win_start(j)
-        off_j = j * slab - s
+        iz, jj = j // n_ty, j % n_ty
+        s = win_start(iz)
+        off_j = iz * slab - s
+        off_y = 8 * (jj * (ty // 8) - win_start_y8(jj))
         return pltpu.make_async_copy(
-            obuf.at[slot, :, pl.ds(off_j, slab)],
-            out_hbm.at[:, pl.ds(j * slab, slab)],
+            obuf.at[slot, :, pl.ds(off_j, slab), pl.ds(off_y, ty)],
+            out_hbm.at[:, pl.ds(iz * slab, slab),
+                       pl.ds(8 * (jj * (ty // 8)), ty)],
             sems.at[2, slot],
         )
 
     if nbuf == 2:
-        slot = jax.lax.rem(i, 2)
-        nslot = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(idx, 2)
+        nslot = jax.lax.rem(idx + 1, 2)
 
-        @pl.when(i == 0)
+        @pl.when(idx == 0)
         def _():
             for d in in_dmas(jnp.int32(0), jnp.int32(0)):
                 d.start()
 
-        @pl.when(i + 1 < n_prog)
+        @pl.when(idx + 1 < n_prog)
         def _():
-            for d in in_dmas(nslot, i + 1):
+            for d in in_dmas(nslot, idx + 1):
                 d.start()
 
-        for d in in_dmas(slot, i):
+        for d in in_dmas(slot, idx):
             d.wait()
 
-        @pl.when(i >= 2)
+        @pl.when(idx >= 2)
         def _():
             # reclaim this slot's out buffer before overwriting it
-            out_dma(slot, i - 2).wait()
+            out_dma(slot, idx - 2).wait()
     else:
         slot = jnp.int32(0)
-        for d in in_dmas(slot, i):
+        for d in in_dmas(slot, idx):
             d.start()
-        for d in in_dmas(slot, i):
+        for d in in_dmas(slot, idx):
             d.wait()
 
     start = win_start(i)
-    off = z0 - start
+    ystart = 8 * win_start_y8(jy)
     fbuf = fbuf.at[slot]
     vbuf = vbuf.at[slot]
     obuf_slot = obuf.at[slot]
@@ -335,7 +369,7 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
     omask = mbuf.at[slot][...].astype(f32) if has_obst else None
     fields_v = _substep_window_vals(
         fields_in, vel_vals, start=start, n=n, p=p, k_win=k_win,
-        n_sub=n_sub, dt0=dt0, bs=bs, omask=omask,
+        n_sub=n_sub, dt0=dt0, bs=bs, omask=omask, ystart=ystart, py=py,
     )
 
     for c in range(n_fields):
@@ -364,19 +398,29 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
                     else szf * obuf_slot[c, 1:2]
                 )
 
-            @pl.when(i == n_prog - 1)
+            @pl.when(i == (n // slab) - 1)
             def _(c=c, szf=szf):
                 obuf_slot[c, p - 1:p] = (
                     obuf_slot[c, p - 2:p - 1] if szf == 1.0
                     else szf * obuf_slot[c, p - 2:p - 1]
                 )
 
-            ysrc_lo = obuf_slot[c, :, 1:2, :]
-            obuf_slot[c, :, 0:1, :] = ysrc_lo if syf == 1.0 else syf * ysrc_lo
-            ysrc_hi = obuf_slot[c, :, n - 2:n - 1, :]
-            obuf_slot[c, :, n - 1:n, :] = (
-                ysrc_hi if syf == 1.0 else syf * ysrc_hi
-            )
+            # Global y faces exist only in the first/last y-tile (window
+            # rows 0 / py−1 — the y origin clips to the walls there).
+            @pl.when(jy == 0)
+            def _(c=c, syf=syf):
+                ysrc_lo = obuf_slot[c, :, 1:2, :]
+                obuf_slot[c, :, 0:1, :] = (
+                    ysrc_lo if syf == 1.0 else syf * ysrc_lo
+                )
+
+            @pl.when(jy == n_ty - 1)
+            def _(c=c, syf=syf):
+                ysrc_hi = obuf_slot[c, :, py - 2:py - 1, :]
+                obuf_slot[c, :, py - 1:py, :] = (
+                    ysrc_hi if syf == 1.0 else syf * ysrc_hi
+                )
+
             xsrc_lo = obuf_slot[c, :, :, 1:2]
             obuf_slot[c, :, :, 0:1] = xsrc_lo if sxf == 1.0 else sxf * xsrc_lo
             xsrc_hi = obuf_slot[c, :, :, n - 2:n - 1]
@@ -384,50 +428,63 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
                 xsrc_hi if sxf == 1.0 else sxf * xsrc_hi
             )
 
-    mine = out_dma(slot, i)
+    mine = out_dma(slot, idx)
     mine.start()
     if nbuf == 2:
-        @pl.when(i == n_prog - 1)
+        @pl.when(idx == n_prog - 1)
         def _():
             # drain: the previous program's out-DMA was never reclaimed
             if n_prog >= 2:
-                out_dma(jax.lax.rem(i - 1, 2), i - 1).wait()
-            out_dma(slot, i).wait()
+                out_dma(jax.lax.rem(idx - 1, 2), idx - 1).wait()
+            out_dma(slot, idx).wait()
     else:
         mine.wait()
 
 
 def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
-    """Returns (slab, nbuf).  The VMEM model is *total* footprint:
+    """Returns (slab, nbuf, tile_y).  The VMEM model is *total* footprint:
     declared buffers (nbuf·(2F+3) windows, plus nbuf·¼ for the int8 mask)
     plus the kernel's live temporaries + register-allocator spill slots,
     which measure ≈28 window-equivalents on the compiled kernel (103 MB
     total at 128³/slab 32/nbuf 2; a 16-plane pick at 256³ spilled 145 MB
     and OOM'd the 128 MB VMEM).  Prefers the double-buffered variant
     (nbuf=2: prefetch + deferred out-DMA waits — DMA is ~half the serial
-    kernel's time); falls back to single-buffered, then to XLA (512³)."""
-    plane = n * n * 4
+    kernel's time), then single-buffered; when no full-width z-slab fits
+    (512³: 1 MB planes), windows additionally tile in y (``tile_y < n``,
+    window rows ``tile_y + 2·halo``) under a shaved budget (the model's
+    temporaries term is least certain there).  Falls back to XLA only
+    when even the smallest tiled window exceeds the budget."""
     budget = 120 * 1024 * 1024
-    for nbuf in (2, 1):
-        for slab in (32, 16, 8):
-            if n % slab:
-                continue
-            p = slab + 2 * halo
-            # Obstacles: nbuf int8 mask windows (≈¼ each, counted as 1)
-            # plus ~6 window-equivalents of live mirror temporaries
-            # (f32 mask rolls, neighbor-value rolls, totals) — the
-            # (32, nbuf=2, halo=4) pick at 128³/K=3 OOM'd the compile
-            # without this term.
-            mask_w = (nbuf + 6) if has_obst else 0
-            need = (nbuf * (2 * n_fields + 3) + mask_w + 28) * p * plane
-            if need <= budget and p <= n:
-                return slab, nbuf
+    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
+    for tile in (n, n // 2, n // 4, n // 8):
+        if tile < 8 or n % tile or tile % 8:
+            continue
+        py = n if tile == n else tile + 2 * halo_y
+        if py > n:
+            continue
+        plane = py * n * 4
+        tile_budget = budget if tile == n else 110 * 1024 * 1024
+        for nbuf in (2, 1):
+            for slab in (32, 16, 8, 4):
+                if n % slab:
+                    continue
+                p = slab + 2 * halo
+                # Obstacles: nbuf int8 mask windows (≈¼ each, counted as
+                # 1) plus ~6 window-equivalents of live mirror
+                # temporaries (f32 mask rolls, neighbor-value rolls,
+                # totals) — the (32, nbuf=2, halo=4) pick at 128³/K=3
+                # OOM'd the compile without this term.
+                mask_w = (nbuf + 6) if has_obst else 0
+                need = (nbuf * (2 * n_fields + 3) + mask_w + 28) * p * plane
+                if need <= tile_budget and p <= n:
+                    return slab, nbuf, (None if tile == n else tile)
     return None
 
 
 def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
                            window: int = 2, n_sub: int = 1,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           force_tile_y: int | None = None):
     """Pallas drop-in for ``ops.advect.advect_multi_3d`` (windowed mode)
     and, with ``n_sub > 1``, for ``advect_substep_3d`` — with or without
     obstacles (the mask rides along as an int8 window).
@@ -437,7 +494,11 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
     tests; skips the backend check, keeps the shape checks).
     """
-    from ..ops.advect import advect_multi_3d, advect_substep_3d
+    from ..ops.advect import (
+        _mask_and_bnd_3d,
+        advect_multi_3d,
+        advect_substep_3d,
+    )
 
     def xla_fallback():
         if n_sub > 1:
@@ -447,41 +508,53 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
 
     n = fields.shape[-1]
     n_fields = fields.shape[0]
-    has_obst = obst is not None
-    # The per-substep obstacle mirror reads ±1 neighbors, eroding one
-    # extra halo plane per substep on top of the K-cell windowed sum.
-    halo = n_sub * (window + 1) if has_obst else window * n_sub
-    picked = _pick_slab(n, n_fields, halo, has_obst)
+    # In-kernel obstacle masking only where it's structurally required —
+    # between in-VMEM substeps (n_sub > 1).  For single-substep calls the
+    # host-side mask is ONE fused XLA pass, and paying for it in-kernel
+    # (mirror halo +1 → smaller slabs, mask temporaries) measured SLOWER
+    # at 128³/K=3: 65 vs 84 steps/s.  The per-substep obstacle mirror
+    # reads ±1 neighbors, eroding one extra halo plane per substep on
+    # top of the K-cell windowed sum.
+    obst_in_kernel = obst is not None and n_sub > 1
+    halo = n_sub * (window + 1) if obst_in_kernel else window * n_sub
+    picked = _pick_slab(n, n_fields, halo, obst_in_kernel)
     supported = interpret or (pallas_supported() and n % 128 == 0)
     if not supported or picked is None:
         return xla_fallback()
 
-    slab, nbuf = picked
+    slab, nbuf, tile_y = picked
+    if force_tile_y is not None:
+        tile_y = force_tile_y
     p = slab + 2 * halo
+    ty = n if tile_y is None else tile_y
+    n_ty = n // ty
+    halo_y = -(-halo // 8) * 8
+    py = n if n_ty == 1 else ty + 2 * halo_y
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
     kernel = functools.partial(
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
         halo=halo, dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf,
-        n_prog=n // slab, fuse_mask=not has_obst, has_obst=has_obst,
+        n_prog=(n // slab) * n_ty, fuse_mask=obst is None,
+        has_obst=obst_in_kernel, tile_y=tile_y,
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + has_obst)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + obst_in_kernel)
     scratch = [
-        pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
-        pltpu.VMEM((nbuf, 3, p, n, n), vel.dtype),
+        pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
+        pltpu.VMEM((nbuf, 3, p, py, n), vel.dtype),
     ]
-    if has_obst:
-        scratch.append(pltpu.VMEM((nbuf, p, n, n), jnp.int8))
+    if obst_in_kernel:
+        scratch.append(pltpu.VMEM((nbuf, p, py, n), jnp.int8))
     scratch += [
-        pltpu.VMEM((nbuf, n_fields, p, n, n), fields.dtype),
-        pltpu.SemaphoreType.DMA((4 if has_obst else 3, nbuf)),
+        pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
+        pltpu.SemaphoreType.DMA((4 if obst_in_kernel else 3, nbuf)),
     ]
     operands = (fields, vel) + (
-        (obst.astype(jnp.int8),) if has_obst else ()
+        (obst.astype(jnp.int8),) if obst_in_kernel else ()
     )
     vals = pl.pallas_call(
         kernel,
-        grid=(n // slab,),
+        grid=((n // slab) * n_ty,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_fields, n, n, n), fields.dtype),
@@ -492,7 +565,17 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         interpret=interpret,
     )(*operands)
 
-    # The full output contract ran in-kernel: fresh-zero + set_bnd faces
-    # as slice writes on the out window (fuse_mask, no obstacles), or
-    # zero + faces + obstacle mirror per substep (has_obst).
-    return vals
+    if obst is None or obst_in_kernel:
+        # The full output contract ran in-kernel: fresh-zero + set_bnd
+        # faces as slice writes on the out window (fuse_mask, no
+        # obstacles), or zero + faces + obstacle mirror per substep
+        # (obst_in_kernel).
+        return vals
+    # Single-substep with obstacles: one fused host-side masking pass
+    # (measured faster than paying the mirror halo in-kernel).
+    return jnp.stack(
+        [
+            _mask_and_bnd_3d(b, vals[c], fields[c], obst)
+            for c, b in enumerate(bs)
+        ]
+    )

@@ -70,18 +70,36 @@ def _signs(b: int):
 
 def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
                    *, n: int, slab: int, halo: int, t_iters: int,
-                   a: float, inv_c: float, b: int):
-    i = pl.program_id(0)
+                   a: float, inv_c: float, b: int, tile_y: int | None = None):
+    """``tile_y``: y-tiled windows for grids whose full-width planes
+    exceed VMEM (512³).  The validity argument is the z one verbatim, per
+    axis: t sweeps invalidate t window-edge rows on non-boundary sides,
+    so the clipped window extends ``halo = T`` rows past the shipped tile
+    — global y walls are closed by the corrected reads (``yg`` is
+    global), exactly like z."""
+    idx = pl.program_id(0)
     p = slab + 2 * halo
+    ty = n if tile_y is None else tile_y
+    n_ty = n // ty
+    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
+    py = n if n_ty == 1 else ty + 2 * halo_y
+    i = idx // n_ty
+    jy = idx % n_ty
     z0 = i * slab
     start = jnp.clip(z0 - halo, 0, n - p)
     off = z0 - start  # slab offset inside the window
+    # y offsets in explicit 8·k form: Mosaic's divisibility prover needs
+    # sublane slice offsets provably 8-aligned (ty/halo_y/py are all
+    # multiples of 8).
+    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
+    ystart = 8 * ystart8
+    off_y = 8 * (jy * (ty // 8) - ystart8)
 
     in_dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(start, p)], buf0, sems.at[0]
+        x_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], buf0, sems.at[0]
     )
     x0_dma = pltpu.make_async_copy(
-        x0_hbm.at[pl.ds(start, p)], x0s, sems.at[1]
+        x0_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], x0s, sems.at[1]
     )
     in_dma.start()
     x0_dma.start()
@@ -92,9 +110,9 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
     az = jnp.asarray(a, jnp.float32)
     ic = jnp.asarray(inv_c, jnp.float32)
 
-    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 0)
-    yg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 1)
-    xg = jax.lax.broadcasted_iota(jnp.int32, (p, n, n), 2)
+    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 0)
+    yg = ystart + jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 2)
 
     def roll(v, shift, axis):
         # pltpu.roll wants non-negative shifts; rotating by −1 along an
@@ -126,33 +144,45 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
 
     final = buf1 if t_iters % 2 == 1 else buf0
     out_dma = pltpu.make_async_copy(
-        final.at[pl.ds(off, slab)], out_hbm.at[pl.ds(z0, slab)], sems.at[2]
+        final.at[pl.ds(off, slab), pl.ds(off_y, ty)],
+        out_hbm.at[pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],
+        sems.at[2],
     )
     out_dma.start()
     out_dma.wait()
 
 
 def _pick_block(n: int, t_iters: int):
-    """Choose (slab, halo) for z-slab temporal blocking.  The VMEM model
+    """Choose (slab, halo, tile_y) for temporal blocking.  The VMEM model
     is *total* footprint: 3 declared windows plus ~12 window-equivalents
     of live sweep temporaries/spills (v, six rolled neighbors, partial
-    sums) against the chip's 128 MB, which keeps the kernel viable
-    through 256³ (28-plane windows) without y-tiled windows and their
-    ~2× redundant compute (ROADMAP r1 item 1, superseded)."""
-    plane_bytes = n * n * 4
+    sums) against the chip's 128 MB, which keeps full-width z-slab
+    windows viable through 256³ (28-plane windows).  At 512³ (1 MB
+    planes) the windows additionally tile in y (``tile_y + 2·halo``
+    rows) — the ~1.6× redundant halo compute beats streaming the volume
+    through HBM every sweep on the XLA path."""
     budget = 120 * 1024 * 1024
     halo = t_iters
-    for slab in (64, 32, 16, 8):
-        if n % slab:
+    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
+    for tile in (n, n // 2, n // 4):
+        if tile < 8 or n % tile or tile % 8:
             continue
-        window = slab + 2 * halo
-        if (3 + 12) * window * plane_bytes <= budget and window <= n:
-            return slab, halo
+        py = n if tile == n else tile + 2 * halo_y
+        if py > n:
+            continue
+        plane_bytes = py * n * 4
+        for slab in (64, 32, 16, 8):
+            if n % slab:
+                continue
+            window = slab + 2 * halo
+            if (3 + 12) * window * plane_bytes <= budget and window <= n:
+                return slab, halo, (None if tile == n else tile)
     return None
 
 
 def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
-                     block_iters: int = 10, interpret: bool = False):
+                     block_iters: int = 10, interpret: bool = False,
+                     force_tile_y: int | None = None):
     """Drop-in (no-obstacle) replacement for ``ops.linsolve.jacobi_3d``.
 
     Runs ⌈iters/block_iters⌉ temporally-blocked passes, then applies the
@@ -200,17 +230,23 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     # normalize anyway so standalone use matches ops.linsolve.jacobi_3d on
     # consistent inputs.
     x = set_bnd_3d(b, x, None)
-    slab, halo = picked
+    slab, halo, tile_y = picked
+    if force_tile_y is not None:
+        tile_y = force_tile_y
     p = slab + 2 * halo
+    ty = n if tile_y is None else tile_y
+    n_ty = n // ty
+    halo_y = -(-halo // 8) * 8
+    py = n if n_ty == 1 else ty + 2 * halo_y
     inv_c = float(np.float32(1.0) / np.float32(c))
 
     n_passes = math.ceil(iters / block_iters)
-    grid = (n // slab,)
+    grid = ((n // slab) * n_ty,)
 
     def one_pass(x, t_iters):
         kernel = functools.partial(
             _jacobi_kernel, n=n, slab=slab, halo=halo, t_iters=t_iters,
-            a=float(np.float32(a)), inv_c=inv_c, b=b,
+            a=float(np.float32(a)), inv_c=inv_c, b=b, tile_y=tile_y,
         )
         return pl.pallas_call(
             kernel,
@@ -222,9 +258,9 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             out_shape=jax.ShapeDtypeStruct((n, n, n), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((p, n, n), jnp.float32),
-                pltpu.VMEM((p, n, n), jnp.float32),
-                pltpu.VMEM((p, n, n), jnp.float32),
+                pltpu.VMEM((p, py, n), jnp.float32),
+                pltpu.VMEM((p, py, n), jnp.float32),
+                pltpu.VMEM((p, py, n), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             compiler_params=pltpu.CompilerParams(

@@ -142,13 +142,17 @@ def _grad_kernel(vel_hbm, p_hbm, out_hbm, vbuf, pbuf, obuf, sems,
 
 
 def _pick_slab(n: int, windows: int):
+    """Single-sweep kernels (z-halo 1): declared windows + ~4
+    window-equivalents of live temporaries against an 80 MB budget.
+    slab=4 keeps these viable at 512³ (1 MB planes), where the div/grad
+    windows are the only full-width buffers in the projection."""
     plane = n * n * 4
-    budget = 24 * 1024 * 1024
-    for slab in (64, 32, 16, 8):
+    budget = 80 * 1024 * 1024
+    for slab in (64, 32, 16, 8, 4):
         if n % slab:
             continue
         p = slab + 2
-        if windows * p * plane <= budget and p <= n:
+        if (windows + 4) * p * plane <= budget and p <= n:
             return slab
     return None
 
