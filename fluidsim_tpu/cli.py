@@ -196,7 +196,23 @@ def cmd_presets(args):
               f"dt={cfg.time_step} jacobi={cfg.jacobi_iters}")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (same location as bench.py): the
+    Pallas kernels take minutes to compile cold at ≥256³; repeated CLI
+    invocations hit the cache instead."""
+    cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="fluidsim_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -17,13 +17,16 @@ whole accumulation on-chip — ONE HBM pass regardless of K.
 never return to HBM until the final write-back.  Halo grows to
 ``K·n_sub``.
 
-Obstacles run in-kernel too: the int8 mask window DMAs in alongside the
-fields and every substep applies the full output contract — fresh-zero
-walls/obstacle cells, ``set_bnd`` faces, and the obstacle *mirror* for
-velocity components (the reference's advect + set_bnd semantics,
-FluidSim.cs:1125-1186 + 1261-1287, generalized to 3D) — so no host-side
-masking pass remains on any path.  The mirror reads ±1 neighbors, so the
-halo grows to ``n_sub·(K+1)``.
+Obstacles run in-kernel on the substepped path (``n_sub > 1``, where the
+contract must apply *between* in-VMEM substeps): the int8 mask window
+DMAs in alongside the fields and every substep applies the full output
+contract — fresh-zero walls/obstacle cells, ``set_bnd`` faces, and the
+obstacle *mirror* for velocity components (the reference's advect +
+set_bnd semantics, FluidSim.cs:1125-1186 + 1261-1287, generalized to
+3D).  The mirror reads ±1 neighbors, so the halo grows to
+``n_sub·(K+1)``.  Single-substep obstacle calls instead keep ONE fused
+host-side masking pass (``_mask_and_bnd_3d``) — measured faster than
+paying the mirror halo in-kernel (see ``advect_multi_3d_pallas``).
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .jacobi import pallas_supported  # re-exported convenience
+from .jacobi import pallas_supported, tile_geometry
 
 try:
     from jax.experimental import pallas as pl
@@ -277,10 +280,7 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
         obst_hbm = mbuf = None
     idx = pl.program_id(0)
     p = slab + 2 * halo
-    ty = n if tile_y is None else tile_y
-    n_ty = n // ty
-    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
-    py = n if n_ty == 1 else ty + 2 * halo_y
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
 
     i = idx // n_ty       # z-slab index
     jy = idx % n_ty       # y-tile index
@@ -452,14 +452,27 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
     kernel's time), then single-buffered; when no full-width z-slab fits
     (512³: 1 MB planes), windows additionally tile in y (``tile_y < n``,
     window rows ``tile_y + 2·halo``) under a shaved budget (the model's
-    temporaries term is least certain there).  Falls back to XLA only
-    when even the smallest tiled window exceeds the budget."""
+    temporaries term is least certain there).  Among the feasible
+    (slab, nbuf, tile) triples the pick minimizes the *redundancy ratio*
+    ``(p·py)/(slab·ty)`` — halo DMA+compute wasted per shipped cell —
+    preferring nbuf=2 on ties; first-fit previously let a
+    small-slab/huge-tile candidate (4, 2, 128 at 512³) shadow the
+    strictly cheaper (8, 2, 64).  Tiled candidates carry a measured
+    ×1.25 cost penalty — but only for ``n < 256``: a y-tiled window's
+    HBM rows are contiguous only along x (``n·4`` bytes), so at n=128
+    the DMA degrades to 512-byte bursts (a nominally 2%-cheaper tiled
+    pick measured 15% *slower* than full-width on vortex128), while at
+    n≥256 bursts are ≥1 KB and the ratio model holds (256³: tiled
+    12.29 ms vs full-width 13.91 ms for the K=1×2 advect, matching the
+    ratio prediction).  Falls back to XLA only when even the smallest
+    tiled window exceeds the budget."""
     budget = 120 * 1024 * 1024
-    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
+    best = None
+    best_key = None
     for tile in (n, n // 2, n // 4, n // 8):
         if tile < 8 or n % tile or tile % 8:
             continue
-        py = n if tile == n else tile + 2 * halo_y
+        ty, _, _, py = tile_geometry(n, None if tile == n else tile, halo)
         if py > n:
             continue
         plane = py * n * 4
@@ -476,9 +489,14 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
                 # OOM'd the compile without this term.
                 mask_w = (nbuf + 6) if has_obst else 0
                 need = (nbuf * (2 * n_fields + 3) + mask_w + 28) * p * plane
-                if need <= tile_budget and p <= n:
-                    return slab, nbuf, (None if tile == n else tile)
-    return None
+                if need > tile_budget or p > n:
+                    continue
+                penalty = 1.25 if (tile != n and n < 256) else 1.0
+                key = (penalty * (p * py) / (slab * ty), -nbuf)
+                if best_key is None or key < best_key:
+                    best = (slab, nbuf, (None if tile == n else tile))
+                    best_key = key
+    return best
 
 
 def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
@@ -526,10 +544,7 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     if force_tile_y is not None:
         tile_y = force_tile_y
     p = slab + 2 * halo
-    ty = n if tile_y is None else tile_y
-    n_ty = n // ty
-    halo_y = -(-halo // 8) * 8
-    py = n if n_ty == 1 else ty + 2 * halo_y
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
     kernel = functools.partial(

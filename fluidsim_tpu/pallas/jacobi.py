@@ -68,6 +68,25 @@ def _signs(b: int):
     )
 
 
+def tile_geometry(n: int, tile_y, halo: int):
+    """Shared y-tiling geometry for the windowed kernels: returns
+    ``(ty, n_ty, halo_y, py)`` for a grid of width ``n``, requested tile
+    ``tile_y`` (None = full width) and semantic halo ``halo``.
+
+    ``halo_y`` is the halo rounded up to a multiple of 8 — Mosaic
+    requires sublane (y) slice shapes and offsets to be 8-aligned — and
+    ``py`` the window row count.  Kernel, driver, and VMEM picker must
+    all use THIS function so DMA slice shapes and scratch shapes agree.
+    Offsets built from these values must be written in explicit ``8·k``
+    form for Mosaic's divisibility prover (see call sites).
+    """
+    ty = n if tile_y is None else tile_y
+    n_ty = n // ty
+    halo_y = -(-halo // 8) * 8
+    py = n if n_ty == 1 else ty + 2 * halo_y
+    return ty, n_ty, halo_y, py
+
+
 def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
                    *, n: int, slab: int, halo: int, t_iters: int,
                    a: float, inv_c: float, b: int, tile_y: int | None = None):
@@ -79,10 +98,7 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
     global), exactly like z."""
     idx = pl.program_id(0)
     p = slab + 2 * halo
-    ty = n if tile_y is None else tile_y
-    n_ty = n // ty
-    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
-    py = n if n_ty == 1 else ty + 2 * halo_y
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
     i = idx // n_ty
     jy = idx % n_ty
     z0 = i * slab
@@ -159,15 +175,23 @@ def _pick_block(n: int, t_iters: int):
     sums) against the chip's 128 MB, which keeps full-width z-slab
     windows viable through 256³ (28-plane windows).  At 512³ (1 MB
     planes) the windows additionally tile in y (``tile_y + 2·halo``
-    rows) — the ~1.6× redundant halo compute beats streaming the volume
-    through HBM every sweep on the XLA path."""
+    rows).  Among the feasible (slab, tile) pairs the pick minimizes the
+    *redundancy ratio* ``(window·py)/(slab·ty)`` — the fraction of halo
+    DMA+compute wasted per shipped cell — rather than first-fit, so a
+    small-slab/huge-tile candidate can't shadow a strictly cheaper one
+    (at fixed T the per-pass DMA term is monotone in the ratio, so
+    min-ratio = min-cost).  Returns ``((slab, halo, tile_y), ratio)`` or
+    ``None``; the *driver* compares candidates across T values with the
+    calibrated cost model ``ratio + 2.4·(2·ratio+1)/T`` — see
+    ``jacobi_3d_pallas``."""
     budget = 120 * 1024 * 1024
     halo = t_iters
-    halo_y = -(-halo // 8) * 8  # sublane slices must be 8-aligned
-    for tile in (n, n // 2, n // 4):
+    best = None
+    best_cost = None
+    for tile in (n, n // 2, n // 4, n // 8):
         if tile < 8 or n % tile or tile % 8:
             continue
-        py = n if tile == n else tile + 2 * halo_y
+        ty, _, _, py = tile_geometry(n, None if tile == n else tile, halo)
         if py > n:
             continue
         plane_bytes = py * n * 4
@@ -175,9 +199,13 @@ def _pick_block(n: int, t_iters: int):
             if n % slab:
                 continue
             window = slab + 2 * halo
-            if (3 + 12) * window * plane_bytes <= budget and window <= n:
-                return slab, halo, (None if tile == n else tile)
-    return None
+            if (3 + 12) * window * plane_bytes > budget or window > n:
+                continue
+            cost = (window * py) / (slab * ty)
+            if best_cost is None or cost < best_cost:
+                best = (slab, halo, (None if tile == n else tile))
+                best_cost = cost
+    return None if best is None else (best, best_cost)
 
 
 def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
@@ -209,16 +237,30 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
         # Slab kernel scratch is f32; narrow storage upcasts at the edge.
         out = jacobi_3d_pallas(
             b, x.astype(jnp.float32), x0.astype(jnp.float32), a, c, iters,
-            block_iters, interpret,
+            block_iters, interpret, force_tile_y,
         )
         return out.astype(x.dtype)
 
-    # Large grids: shrink the temporal block until the windows fit (a
-    # smaller T trades HBM passes for less redundant halo compute).
-    picked = _pick_block(n, block_iters)
-    while picked is None and block_iters > 2:
-        block_iters //= 2
-        picked = _pick_block(n, block_iters)
+    # Large grids: compare temporal blocks T = block_iters, /2, /4 … by
+    # the calibrated per-iteration cost  ratio + 2.4·(2·ratio+1)/T
+    # (compute ∝ ratio is T-independent; each of the iters/T passes pays
+    # 2 window reads + 1 slab write of HBM DMA).  The 2.4 weight is
+    # fitted to on-chip 20-iter solves at 256³ — it reproduces the
+    # measured ordering there exactly ((64,T10,tile64) 13.6 ms <
+    # (16,T5,full) 13.8 < (16,T2,full) 17.1 ≈ (8,T10,full) 17.2) and
+    # the 512³ product result (T5/tile128 6.7 steps/s > T10/tile64 5.9).
+    picked = None
+    best_cost = None
+    t = block_iters
+    while t >= 2:
+        cand = _pick_block(n, t)
+        if cand is not None:
+            ratio = cand[1]
+            cost = ratio + 2.4 * (2.0 * ratio + 1.0) / t
+            if best_cost is None or cost < best_cost:
+                picked, best_cost = cand[0], cost
+                block_iters = t
+        t //= 2
     if picked is None:  # grid too small/odd for blocking — XLA fallback
         from ..ops.linsolve import jacobi_3d
 
@@ -234,10 +276,7 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     if force_tile_y is not None:
         tile_y = force_tile_y
     p = slab + 2 * halo
-    ty = n if tile_y is None else tile_y
-    n_ty = n // ty
-    halo_y = -(-halo // 8) * 8
-    py = n if n_ty == 1 else ty + 2 * halo_y
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
     inv_c = float(np.float32(1.0) / np.float32(c))
 
     n_passes = math.ceil(iters / block_iters)

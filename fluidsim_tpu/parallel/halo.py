@@ -38,7 +38,18 @@ def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1):
     (zeros at the global bottom); ``above`` the first ``depth`` planes of
     the shard above (zeros at the global top).  One ``ppermute`` in each
     direction — 2·depth·N²·4 bytes per call over ICI.
+
+    ``depth`` must not exceed the local slab depth: a shard only owns
+    ``lz`` planes, so a deeper halo would silently come back truncated
+    (``x_local[-depth:]`` caps at ``lz`` planes) and any consumer that
+    concatenates ``[below, x, above]`` expecting ``lz + 2·depth`` planes
+    would slice against the wrong geometry.
     """
+    if depth > x_local.shape[0]:
+        raise ValueError(
+            f"halo depth={depth} exceeds the local slab depth "
+            f"{x_local.shape[0]}"
+        )
     n_dev = jax.lax.axis_size(axis_name)
     top_slab = x_local[-depth:]   # sent upward (to rank+1)
     bot_slab = x_local[:depth]    # sent downward (to rank-1)

@@ -92,6 +92,12 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
         raise ValueError("sharded_step_fn is for the 3D engine")
     if halo not in ("auto", "explicit"):
         raise ValueError(f"halo must be 'auto' or 'explicit', got {halo!r}")
+    if halo == "auto" and halo_block_iters != 1:
+        raise ValueError(
+            "halo_block_iters only applies to halo='explicit' (the auto "
+            "path's exchange cadence is chosen by XLA); pass "
+            "halo='explicit' to use the communication-avoiding schedule"
+        )
     jacobi_fn = None
     if halo == "explicit":
         if cfg.enable_obstacle:
