@@ -22,7 +22,11 @@ import time
 import numpy as np
 
 
-SUBSTEPS = 50
+# Rollout length per dispatch: the host sync costs one tunnel round trip
+# (~36 ms) per trial regardless of length, so longer scans amortize it
+# toward the device-busy floor (1.69 ms/step at 128³ per the profiler
+# trace — see docs/KERNELS.md "device-side step breakdown").
+SUBSTEPS = 250
 TRIALS = 3
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
@@ -119,16 +123,27 @@ def main() -> None:
     state, img = frame(state)
     float(img.mean())  # compile + sync
     # Steady-state pipelined frame time: a live viewer overlaps frame k's
-    # fetch with frame k+1's compute, so per-chunk wall time / chunk is
-    # the per-frame cost (a per-frame host sync would measure the axon
-    # tunnel's ~30 ms round-trip latency instead of device work).
-    CHUNK = 10
+    # fetch with frame k+1's compute, so the device step+render time is
+    # the per-frame cost.  Measured as a scanned chunk of frames with one
+    # sync — per-frame host dispatches through the axon tunnel add a
+    # noisy 0.4–1 ms/frame of enqueue overhead plus the ~36 ms sync
+    # round-trip, which is tunnel artifact, not frame cost.
+    CHUNK = 25
+
+    @jax.jit
+    def frame_chunk(state):
+        def one(state, _):
+            state, img = frame(state)  # nested jit inlines under trace
+            return state, img.mean()
+        return jax.lax.scan(one, state, None, length=CHUNK)
+
+    state, means = frame_chunk(state)
+    float(means[0])  # compile + sync
     times = []
     for _ in range(9):
         t0 = time.perf_counter()
-        for _ in range(CHUNK):
-            state, img = frame(state)
-        float(img.mean())  # on-device reduction → tiny fetch
+        state, means = frame_chunk(state)
+        float(means[0])  # on-device reduction → tiny fetch
         times.append((time.perf_counter() - t0) * 1e3 / CHUNK)
     p50 = float(np.percentile(times, 50))
 

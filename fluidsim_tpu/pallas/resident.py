@@ -109,6 +109,14 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
     previous iterate (the reference's skip semantics, FluidSim.cs:1205).
     Only valid for ``b == 0`` (scalar solves, where ``set_bnd`` applies no
     obstacle mirror).  Returns the ref holding the final iterate (static).
+
+    A slice-z sweep variant (update planes 1..n−2 with the z neighbors as
+    leading-axis slices instead of ``pltpu.roll``s) was tried and measured
+    *exactly neutral* on-chip (1.033 vs 1.038 ms per 60-iter projection at
+    128³) — Mosaic already lowers untiled-axis rolls to addressing, and
+    the sweep is bound by VMEM operand bandwidth / the iteration
+    dependency chain, not by the roll copies.  Kept in the simpler rolled
+    form.
     """
     sz, sy, sx = _signs(b)
     az = jnp.asarray(a, jnp.float32)
