@@ -208,6 +208,32 @@ def _pick_block(n: int, t_iters: int):
     return None if best is None else (best, best_cost)
 
 
+def pick_blocking(n: int, block_iters: int):
+    """Choose ((slab, halo, tile_y), T) across temporal blocks
+    T = block_iters, /2, /4 … by the calibrated per-iteration cost
+    ``ratio + 2.4·(2·ratio+1)/T`` (compute ∝ ratio is T-independent;
+    each of the iters/T passes pays 2 window reads + 1 slab write of HBM
+    DMA).  The 2.4 weight is fitted to on-chip 20-iter solves at 256³ —
+    it reproduces the measured ordering there exactly ((64,T10,tile64)
+    13.6 ms < (16,T5,full) 13.8 < (16,T2,full) 17.1 ≈ (8,T10,full)
+    17.2; tools/microbench_kernels.py) and the 512³ microbench
+    ((32,T5,t64) 71.6 ms < (16,T2,t128) 78.7 < (16,T5,t128) 86.3).
+    Returns (None, block_iters) when no blocking fits."""
+    picked = None
+    best_cost = None
+    t = block_iters
+    while t >= 2:
+        cand = _pick_block(n, t)
+        if cand is not None:
+            ratio = cand[1]
+            cost = ratio + 2.4 * (2.0 * ratio + 1.0) / t
+            if best_cost is None or cost < best_cost:
+                picked, best_cost = cand[0], cost
+                block_iters = t
+        t //= 2
+    return picked, block_iters
+
+
 def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
                      block_iters: int = 10, interpret: bool = False,
                      force_tile_y: int | None = None):
@@ -241,26 +267,7 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
         )
         return out.astype(x.dtype)
 
-    # Large grids: compare temporal blocks T = block_iters, /2, /4 … by
-    # the calibrated per-iteration cost  ratio + 2.4·(2·ratio+1)/T
-    # (compute ∝ ratio is T-independent; each of the iters/T passes pays
-    # 2 window reads + 1 slab write of HBM DMA).  The 2.4 weight is
-    # fitted to on-chip 20-iter solves at 256³ — it reproduces the
-    # measured ordering there exactly ((64,T10,tile64) 13.6 ms <
-    # (16,T5,full) 13.8 < (16,T2,full) 17.1 ≈ (8,T10,full) 17.2) and
-    # the 512³ product result (T5/tile128 6.7 steps/s > T10/tile64 5.9).
-    picked = None
-    best_cost = None
-    t = block_iters
-    while t >= 2:
-        cand = _pick_block(n, t)
-        if cand is not None:
-            ratio = cand[1]
-            cost = ratio + 2.4 * (2.0 * ratio + 1.0) / t
-            if best_cost is None or cost < best_cost:
-                picked, best_cost = cand[0], cost
-                block_iters = t
-        t //= 2
+    picked, block_iters = pick_blocking(n, block_iters)
     if picked is None:  # grid too small/odd for blocking — XLA fallback
         from ..ops.linsolve import jacobi_3d
 

@@ -1,0 +1,48 @@
+"""Regression tests for the kernel window pickers' calibrated cost model.
+
+The expected picks are the on-chip measured winners recorded in
+``tools/microbench_kernels.py`` and docs/KERNELS.md ("Calibrated window
+picker"); if a cost-model edit flips one of these, it must come with a
+new measurement.
+"""
+
+from fluidsim_tpu.pallas.advect import _pick_slab
+from fluidsim_tpu.pallas.jacobi import _pick_block, pick_blocking
+
+
+def test_advect_picks_headline_configs():
+    # 128³ always full-width: y-tiled DMA degrades to 512-byte bursts
+    # below n=256 (measured 15% slower on vortex128).
+    assert _pick_slab(128, 3, 2, False) == (32, 2, None)
+    assert _pick_slab(128, 3, 6, True) == (16, 2, None)   # vortex128
+    # 256³ K=1×2: tiled (16,1,128) measured 12.29 ms vs full-width
+    # (8,1,None) 13.91 ms.
+    assert _pick_slab(256, 3, 2, False) == (16, 1, 128)   # multi256
+    # 512³: (8,2,64) at 1.875× redundancy, not first-fit's (4,2,128)
+    # at 2.25×.
+    assert _pick_slab(512, 3, 2, False) == (8, 2, 64)     # sharded512
+
+
+def test_advect_pick_none_when_infeasible():
+    # Obstacle halo 8 at 512³: even the smallest tiled window busts the
+    # VMEM budget — must fall back to XLA, not return a bogus config.
+    assert _pick_slab(512, 3, 8, True) is None
+
+
+def test_jacobi_pick_block_returns_ratio():
+    pick, ratio = _pick_block(128, 10)
+    assert pick == (64, 10, None)
+    assert ratio == (64 + 20) / 64  # full-width window redundancy
+
+
+def test_jacobi_cross_t_selection():
+    # 256³: (64, T=10, tile 64) measured 13.56 ms — beats every smaller-T
+    # candidate despite higher redundancy (fewer HBM passes).
+    assert pick_blocking(256, 10) == ((64, 10, 64), 10)
+    # 512³: T=10 is feasible (16, 10, 64) but loses to T=5's (32, 5, 64)
+    # (71.6 ms vs 86.3/78.7 for the alternatives) — the regression that
+    # motivated the cross-T cost model.
+    assert pick_blocking(512, 10) == ((32, 5, 64), 5)
+    # 128³ fits full-width at T=10 (moot in product — the resident
+    # whole-volume kernel takes over below ~160³).
+    assert pick_blocking(128, 10) == ((64, 10, None), 10)

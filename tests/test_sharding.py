@@ -81,6 +81,41 @@ def test_deep_halo_validation():
         jacobi_3d_sharded(x, x, 1.0, 6.0, 20, mesh, block_iters=5)
 
 
+def test_halo_exchange_rejects_deep_halo():
+    """The primitive itself refuses depth > local slab — a deeper
+    request would silently come back truncated (x_local[-depth:] caps
+    at lz planes) and corrupt any [below, x, above] concatenation."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from fluidsim_tpu.parallel.halo import halo_exchange_z
+
+    mesh = make_mesh(jax.devices()[:8])
+    x = jnp.zeros((32, 32, 32), jnp.float32)  # 4 local planes
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P("z", None, None), out_specs=P("z", None, None),
+    )
+    def bad(xl):
+        below, _ = halo_exchange_z(xl, depth=5)
+        return xl
+
+    with pytest.raises(ValueError, match="local slab depth"):
+        bad(x)
+
+
+def test_sharded_step_rejects_block_iters_on_auto():
+    """halo_block_iters silently did nothing on the auto path — it must
+    raise so a benchmark of the communication-avoiding cadence can't
+    accidentally measure the auto path."""
+    cfg = cfg3d(enable_obstacle=False)
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="halo_block_iters"):
+        sharded_step_fn(cfg, mesh, halo="auto", halo_block_iters=4)
+
+
 def test_sharded_step_explicit_deep_halo_matches_auto():
     """The product step with the communication-avoiding exchange cadence
     (halo_block_iters=4) equals the auto-partitioned path."""
