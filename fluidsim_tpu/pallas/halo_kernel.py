@@ -1,0 +1,223 @@
+"""Per-shard temporally-blocked Jacobi on a halo-extended slab (Pallas).
+
+The explicit halo-exchange solver (``parallel.halo.jacobi_3d_sharded``)
+exchanges a T-plane halo every T sweeps and runs the sweeps on the
+extended local slab ``[below(T), local(lz), above(T)]``.  Its XLA sweep
+streams the slab through HBM every iteration — exactly the cost the
+single-chip temporally-blocked kernel (``pallas/jacobi.py``) eliminates.
+This module provides that kernel for the *extended slab*, making the
+sharded path's local compute kernel-grade: per v5e-8 shard the slab is
+(64+2T, 512, 512) with 1 MB planes, the same shape the y-tiled windows
+were built for.
+
+Differences from the single-chip kernel (``_jacobi_kernel``):
+
+* **Open z edges.**  The extended array's z edges are halo *data*, not
+  walls; validity erodes one plane per sweep from each edge.  The same
+  clipped-window argument as the single-chip kernel shows every plane
+  ≥ T from the array edge is exact after T sweeps — and the caller
+  discards exactly the outer T planes — so no special handling is
+  needed beyond NOT applying a wall rule there.
+* **Traced wall positions.**  Under ``shard_map`` the rank is a traced
+  value, so whether the slab touches the global z walls cannot be
+  compiled statically.  The wall face indices arrive as an SMEM scalar
+  pair ``(wall_lo, wall_hi)`` (−1 ⇒ no wall on that side): the corrected
+  neighbor reads compare against them at trace-free runtime cost.  On
+  the first shard ``wall_lo = T`` (the global z=0 face sits at extended
+  index T); on the last, ``wall_hi = T + lz − 1``.  y/x walls are
+  physical on every shard, exactly as in the single-chip kernel.
+
+Numerics: identical values and add order to ``parallel.halo._ext_sweep``
+in the valid region, except multiply-by-``1/c`` instead of divide-by-``c``
+(the 1-ulp class trade every Pallas solver here makes).
+
+Reference lineage: FluidSim.cs:1188-1233 (LinearSolveIterationJob) +
+:1235-1289 (BoundaryJob), re-designed as a communication-avoiding
+on-chip program over the ``ppermute``-exchanged slab.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .jacobi import _signs, tile_geometry
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
+                       sems, *, nz: int, n: int, slab: int, halo: int,
+                       t_iters: int, a: float, inv_c: float, b: int,
+                       tile_y: int | None = None):
+    """T sweeps on z-windows of the (nz, n, n) extended slab.
+
+    ``walls_smem``: int32[2] = (wall_lo, wall_hi) extended-array z indices
+    of the global wall faces, −1 for none.  y-tiling geometry is shared
+    with the single-chip kernel (``tile_geometry``); y/x wall handling is
+    identical (global y/x walls exist on every shard).
+    """
+    idx = pl.program_id(0)
+    p = slab + 2 * halo
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
+    i = idx // n_ty
+    jy = idx % n_ty
+    z0 = i * slab
+    start = jnp.clip(z0 - halo, 0, nz - p)
+    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
+    ystart = 8 * ystart8
+    off = z0 - start
+    off_y = 8 * (jy * (ty // 8) - ystart8)
+
+    in_dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], buf0, sems.at[0]
+    )
+    x0_dma = pltpu.make_async_copy(
+        x0_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], x0s, sems.at[1]
+    )
+    in_dma.start()
+    x0_dma.start()
+    in_dma.wait()
+    x0_dma.wait()
+
+    sz, sy, sx = _signs(b)
+    az = jnp.asarray(a, jnp.float32)
+    ic = jnp.asarray(inv_c, jnp.float32)
+    wall_lo = walls_smem[0]
+    wall_hi = walls_smem[1]
+
+    zg = start + jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 0)
+    yg = ystart + jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 1)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (p, py, n), 2)
+
+    def roll(v, shift, axis):
+        m = v.shape[axis]
+        return pltpu.roll(v, shift % m, axis)
+
+    def sweep(src_ref, dst_ref):
+        v = src_ref[:]
+        # y/x: physical walls on every shard — corrected reads exactly as
+        # the single-chip kernel.
+        right = jnp.where(xg == n - 2, sx * v, roll(v, -1, 2))
+        left = jnp.where(xg == 1, sx * v, roll(v, 1, 2))
+        up = jnp.where(yg == n - 2, sy * v, roll(v, -1, 1))
+        down = jnp.where(yg == 1, sy * v, roll(v, 1, 1))
+        # z: wall rule only at the traced global-face positions (wall_lo
+        # = −1 compares false everywhere); elsewhere the window neighbor
+        # is halo data and the erosion margin guarantees validity.
+        above = jnp.where(zg == wall_hi - 1, sz * v, roll(v, -1, 0))
+        below = jnp.where(zg == wall_lo + 1, sz * v, roll(v, 1, 0))
+
+        nbr = ((right + left) + (up + down)) + (above + below)
+        dst_ref[:] = (x0s[:] + az * nbr) * ic
+
+    for t in range(t_iters):
+        src, dst = (buf0, buf1) if t % 2 == 0 else (buf1, buf0)
+        sweep(src, dst)
+
+    final = buf1 if t_iters % 2 == 1 else buf0
+    out_dma = pltpu.make_async_copy(
+        final.at[pl.ds(off, slab), pl.ds(off_y, ty)],
+        out_hbm.at[pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],
+        sems.at[2],
+    )
+    out_dma.start()
+    out_dma.wait()
+
+
+def _pick_ext_block(nz: int, n: int, halo: int):
+    """(slab, tile_y) for an (nz, n, n) extended slab: slab divides nz
+    (z is untiled, no alignment needed), tile divides n (8-aligned).
+    Same VMEM model and min-redundancy selection as
+    ``jacobi._pick_block``, with the ×1.25 tiled penalty below n=256."""
+    budget = 120 * 1024 * 1024
+    best = None
+    best_cost = None
+    for tile in (n, n // 2, n // 4, n // 8):
+        if tile < 8 or n % tile or tile % 8:
+            continue
+        ty, _, _, py = tile_geometry(n, None if tile == n else tile, halo)
+        if py > n:
+            continue
+        plane_bytes = py * n * 4
+        for slab in range(min(64, nz), 0, -1):
+            if nz % slab:
+                continue
+            window = slab + 2 * halo
+            if (3 + 12) * window * plane_bytes > budget or window > nz:
+                continue
+            penalty = 1.25 if (tile != n and n < 256) else 1.0
+            cost = penalty * (window * py) / (slab * ty)
+            if best_cost is None or cost < best_cost:
+                best = (slab, (None if tile == n else tile))
+                best_cost = cost
+            break  # larger slabs dominate smaller at fixed tile
+    return best
+
+
+def jacobi_ext_pallas(xp, x0_ext, a: float, c: float, t_iters: int,
+                      wall_lo, wall_hi, b: int = 0,
+                      interpret: bool = False, vma=None):
+    """Run ``t_iters`` Jacobi sweeps on the halo-extended slab ``xp``
+    ((nz, n, n), nz = lz + 2·T) with rhs ``x0_ext``.
+
+    ``wall_lo``/``wall_hi``: traced int32 extended-array indices of the
+    global z wall faces (−1 = this shard does not touch that wall).  The
+    outer ``t_iters`` planes of the result are erosion garbage — callers
+    slice them off (``parallel.halo.jacobi_3d_sharded`` does).  Returns
+    None when no VMEM-feasible window exists (caller falls back to XLA).
+
+    ``vma``: the varying-mesh-axes set for the output when called inside
+    ``shard_map`` (e.g. ``frozenset({"z"})``) — shard_map's check_vma
+    requires every ``ShapeDtypeStruct`` to declare it.
+    """
+    nz, py_, n = xp.shape
+    assert x0_ext.shape == xp.shape and py_ == n
+    picked = _pick_ext_block(nz, n, t_iters)
+    if picked is None:
+        return None
+    slab, tile_y = picked
+    p = slab + 2 * t_iters
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, t_iters)
+    inv_c = float(np.float32(1.0) / np.float32(c))
+    walls = jnp.stack([jnp.asarray(wall_lo, jnp.int32),
+                       jnp.asarray(wall_hi, jnp.int32)])
+
+    kernel = functools.partial(
+        _ext_jacobi_kernel, nz=nz, n=n, slab=slab, halo=t_iters,
+        t_iters=t_iters, a=float(np.float32(a)), inv_c=inv_c, b=b,
+        tile_y=tile_y,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=((nz // slab) * n_ty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, n, n), xp.dtype) if vma is None
+            else jax.ShapeDtypeStruct((nz, n, n), xp.dtype, vma=vma)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p, py, n), jnp.float32),
+            pltpu.VMEM((p, py, n), jnp.float32),
+            pltpu.VMEM((p, py, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(walls, xp, x0_ext)

@@ -64,17 +64,9 @@ def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
     """One Jacobi update on a halo-extended z-slab ``xp`` of shape
     ``(lz + 2·halo, N, N)``.  Updates every interior plane of the extended
     array (halo planes erode one per sweep — callers run at most ``halo``
-    sweeps between exchanges), then rewrites wall faces exactly like the
-    single-device ``set_bnd_3d`` face pass: global z faces (ext indices
-    ``halo`` / ``halo+lz−1``) only on the first/last shard, y/x faces on
-    every plane, z → y → x order, with the mirror-negate sign for the
-    velocity component normal to each wall (``b``: 0 scalar, 1 = vx,
-    2 = vy, 3 = vz).
+    sweeps between exchanges), then rewrites wall faces via
+    ``_ext_faces``.
     """
-    sz = -1.0 if b == 3 else 1.0
-    sy = -1.0 if b == 2 else 1.0
-    sx = -1.0 if b == 1 else 1.0
-
     nbr = (
         ((xp[1:-1, 1:-1, 2:] + xp[1:-1, 1:-1, :-2])
          + (xp[1:-1, 2:, 1:-1] + xp[1:-1, :-2, 1:-1]))
@@ -83,8 +75,21 @@ def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
     upd = (x0_ext[1:-1, 1:-1, 1:-1] + a * nbr) / c
     out = jax.lax.pad(upd, jnp.asarray(0.0, xp.dtype),
                       [(1, 1, 0), (1, 1, 0), (1, 1, 0)])
+    return _ext_faces(b, out, rank, n_dev, halo, lz)
 
-    # Wall faces in the exact set_bnd_3d order (z → y → x).
+
+def _ext_faces(b, out, rank, n_dev, halo: int, lz: int):
+    """Rewrite wall faces on a halo-extended slab exactly like the
+    single-device ``set_bnd_3d`` face pass: global z faces (ext indices
+    ``halo`` / ``halo+lz−1``) only on the first/last shard, y/x faces on
+    every plane, z → y → x order (later passes read earlier results,
+    healing shared edges), with the mirror-negate sign for the velocity
+    component normal to each wall (``b``: 0 scalar, 1 = vx, 2 = vy,
+    3 = vz)."""
+    sz = -1.0 if b == 3 else 1.0
+    sy = -1.0 if b == 2 else 1.0
+    sx = -1.0 if b == 1 else 1.0
+
     # Global z faces exist only on the first/last shard, at extended
     # indices halo / halo+lz−1.
     is_bottom = rank == 0
@@ -116,7 +121,8 @@ def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
 
 def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
                       mesh: Mesh, axis_name: str = "z", b: int = 0,
-                      block_iters: int = 1):
+                      block_iters: int = 1, backend: str = "auto",
+                      interpret: bool = False):
     """Slab-sharded fixed-rhs Jacobi with explicit halo exchange.
     ``x``/``x0`` are global ``[z, y, x]`` arrays (sharded or not); the
     result matches the no-obstacle single-device ``jacobi_3d`` for any
@@ -128,10 +134,21 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
     ``block_iters`` (T) sets the exchange cadence: T-plane halos every T
     sweeps instead of 1-plane halos every sweep.  Requires
     ``iters % T == 0`` and T ≤ the local slab depth.
+
+    ``backend``: per-shard compute for the T sweeps between exchanges.
+    ``"xla"`` streams the extended slab through HBM every sweep
+    (``_ext_sweep``); ``"pallas"`` runs all T sweeps in VMEM windows
+    (``pallas.halo_kernel.jacobi_ext_pallas`` — kernel-grade local
+    compute, 1-ulp-class ``·1/c`` vs ``/c`` difference); ``"auto"``
+    picks pallas when a TPU backend is live and a window fits, else
+    xla.  ``interpret`` runs the pallas kernel in the interpreter
+    (CPU-mesh tests).
     """
     T = int(block_iters)
     if iters % T:
         raise ValueError(f"iters={iters} not divisible by block_iters={T}")
+    if backend not in ("auto", "xla", "pallas"):
+        raise ValueError(f"backend must be auto/xla/pallas, got {backend!r}")
     n_shards = mesh.shape[axis_name]
     lz_global = x.shape[0] // n_shards
     if T > lz_global:
@@ -140,9 +157,32 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         )
     spec = P(axis_name, None, None)
 
+    use_pallas = False
+    if backend in ("auto", "pallas"):
+        from ..pallas.halo_kernel import _pick_ext_block
+        from ..pallas.jacobi import pallas_supported
+
+        n = x.shape[-1]
+        lane_ok = interpret or n % 128 == 0
+        feasible = (
+            lane_ok and _pick_ext_block(lz_global + 2 * T, n, T) is not None
+        )
+        supported = interpret or pallas_supported()
+        if backend == "pallas" and not feasible:
+            raise ValueError(
+                "backend='pallas': no VMEM-feasible window for "
+                f"(lz={lz_global}, T={T}, n={n})"
+            )
+        use_pallas = feasible and (supported or backend == "pallas")
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(spec, spec), out_specs=spec,
+        # The interpret-mode pallas kernel's internal dynamic_slices mix
+        # varying and unvarying operands, which the vma checker rejects
+        # (its own error message suggests this workaround); the XLA path
+        # keeps the check.
+        check_vma=not use_pallas,
     )
     def run(x_local, x0_local):
         rank = jax.lax.axis_index(axis_name)
@@ -153,16 +193,51 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         x0b, x0a = halo_exchange_z(x0_local, axis_name, T)
         x0_ext = jnp.concatenate([x0b, x0_local, x0a], axis=0)
 
+        if use_pallas:
+            from ..pallas.halo_kernel import jacobi_ext_pallas
+
+            # Traced wall-face positions: the global z=0 face sits at
+            # extended index T on rank 0; z=N−1 at T+lz−1 on the last
+            # rank; −5 (matches no zg) elsewhere.
+            wall_lo = jnp.where(rank == 0, T, -5)
+            wall_hi = jnp.where(rank == n_dev - 1, T + lz - 1, -5)
+            # Input contract (same as the single-chip kernel): the
+            # corrected reads assume set_bnd-consistent wall faces from
+            # sweep 1, where the XLA path reads the raw input faces once.
+            # Normalize (idempotent on consistent inputs — every solver
+            # call site provides them).
+            x_local = _ext_faces(b, x_local, rank, n_dev, 0, lz)
+
         def round_body(_, xl):
             below, above = halo_exchange_z(xl, axis_name, T)
             xp = jnp.concatenate([below, xl, above], axis=0)
 
-            def sweep(_, xp):
-                return _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, T, lz)
+            if use_pallas:
+                out = jacobi_ext_pallas(xp, x0_ext, a, c, T,
+                                        wall_lo, wall_hi, b=b,
+                                        interpret=interpret,
+                                        vma=frozenset({axis_name}))
+                # The kernel keeps faces implicit (corrected reads);
+                # materialize them once per round.
+                xp = _ext_faces(b, out, rank, n_dev, T, lz)
+            else:
+                def sweep(_, xp):
+                    return _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev,
+                                      T, lz)
 
-            xp = jax.lax.fori_loop(0, T, sweep, xp)
+                xp = jax.lax.fori_loop(0, T, sweep, xp)
             return jax.lax.slice_in_dim(xp, T, T + lz, axis=0)
 
+        if use_pallas:
+            # Python-unrolled rounds: a pallas_call inside lax.fori_loop
+            # inside shard_map trips a lowering-cache KeyError
+            # ('closed_call' + varying-mesh-axes) in current JAX; the
+            # round count is small (iters/T) and the kernel dominates
+            # compile time anyway.
+            xl = x_local
+            for _ in range(iters // T):
+                xl = round_body(None, xl)
+            return xl
         return jax.lax.fori_loop(0, iters // T, round_body, x_local)
 
     return run(x, x0)

@@ -63,7 +63,8 @@ def shard_state(state: FluidState, mesh: Mesh, axis_name: str = "z") -> FluidSta
 
 def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                     n_substeps: int = 1, with_source: bool = True,
-                    halo: str = "auto", halo_block_iters: int = 1):
+                    halo: str = "auto", halo_block_iters: int = 1,
+                    halo_backend: str = "auto"):
     """Compile the full 3D step for a slab-sharded state.
 
     ``halo`` selects the stencil-communication strategy for the pressure
@@ -80,7 +81,11 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
       ``enable_obstacle=False``.  ``halo_block_iters=T>1`` switches the
       exchange cadence to the communication-avoiding schedule (T-deep
       halos every T sweeps — identical results, T× fewer ICI
-      round-trips; see ``parallel.halo``).
+      round-trips; see ``parallel.halo``).  ``halo_backend`` selects the
+      per-shard compute between exchanges: ``"pallas"`` runs all T
+      sweeps in VMEM windows (3.0× over the XLA sweeps on a 512-wide
+      shard, measured single-rank on-chip), ``"xla"`` streams HBM per
+      sweep, ``"auto"`` picks pallas when feasible on a TPU backend.
 
     ``n_substeps > 1`` rolls steps into one program via ``lax.scan`` so
     halo exchanges pipeline with compute.
@@ -112,7 +117,8 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
         def jacobi_fn(p, div, iters):
             return jacobi_3d_sharded(p, div, 1.0, 6.0, iters, mesh,
                                      axis_name, b=0,
-                                     block_iters=halo_block_iters)
+                                     block_iters=halo_block_iters,
+                                     backend=halo_backend)
 
     sh = state_sharding(mesh, axis_name)
     dt = np.float32(cfg.effective_params()[0])
