@@ -125,6 +125,43 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
         sweep(src, dst)
 
     final = buf1 if t_iters % 2 == 1 else buf0
+
+    # In-kernel wall-face materialization on the shipped cells, in the
+    # exact z → y → x healing order of ``parallel.halo._ext_faces``
+    # (later passes read earlier results) — replaces the caller's
+    # per-round XLA face pass, which cost a full-slab HBM round trip.
+    # z faces live at traced positions; each is written by the window
+    # whose *shipped slab* contains it (sources are window-interior:
+    # the halo margin guarantees wall±1 is present).
+    @pl.when(jnp.logical_and(wall_lo >= z0, wall_lo < z0 + slab))
+    def _():
+        i = wall_lo - start
+        src = final[pl.ds(i + 1, 1)]
+        final[pl.ds(i, 1)] = src if sz == 1.0 else sz * src
+
+    @pl.when(jnp.logical_and(wall_hi >= z0, wall_hi < z0 + slab))
+    def _():
+        i = wall_hi - start
+        src = final[pl.ds(i - 1, 1)]
+        final[pl.ds(i, 1)] = src if sz == 1.0 else sz * src
+
+    # Global y faces exist only in the first/last y-tile (window rows
+    # 0 / py−1 — the y origin clips to the walls there).
+    @pl.when(jy == 0)
+    def _():
+        src = final[:, 1:2, :]
+        final[:, 0:1, :] = src if sy == 1.0 else sy * src
+
+    @pl.when(jy == n_ty - 1)
+    def _():
+        src = final[:, py - 2:py - 1, :]
+        final[:, py - 1:py, :] = src if sy == 1.0 else sy * src
+
+    xsrc_lo = final[:, :, 1:2]
+    final[:, :, 0:1] = xsrc_lo if sx == 1.0 else sx * xsrc_lo
+    xsrc_hi = final[:, :, n - 2:n - 1]
+    final[:, :, n - 1:n] = xsrc_hi if sx == 1.0 else sx * xsrc_hi
+
     out_dma = pltpu.make_async_copy(
         final.at[pl.ds(off, slab), pl.ds(off_y, ty)],
         out_hbm.at[pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],

@@ -212,32 +212,45 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
             below, above = halo_exchange_z(xl, axis_name, T)
             xp = jnp.concatenate([below, xl, above], axis=0)
 
-            if use_pallas:
-                out = jacobi_ext_pallas(xp, x0_ext, a, c, T,
-                                        wall_lo, wall_hi, b=b,
-                                        interpret=interpret,
-                                        vma=frozenset({axis_name}))
-                # The kernel keeps faces implicit (corrected reads);
-                # materialize them once per round.
-                xp = _ext_faces(b, out, rank, n_dev, T, lz)
-            else:
-                def sweep(_, xp):
-                    return _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev,
-                                      T, lz)
+            def sweep(_, xp):
+                return _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev,
+                                  T, lz)
 
-                xp = jax.lax.fori_loop(0, T, sweep, xp)
+            xp = jax.lax.fori_loop(0, T, sweep, xp)
             return jax.lax.slice_in_dim(xp, T, T + lz, axis=0)
 
         if use_pallas:
-            # Python-unrolled rounds: a pallas_call inside lax.fori_loop
-            # inside shard_map trips a lowering-cache KeyError
-            # ('closed_call' + varying-mesh-axes) in current JAX; the
-            # round count is small (iters/T) and the kernel dominates
-            # compile time anyway.
-            xl = x_local
-            for _ in range(iters // T):
-                xl = round_body(None, xl)
-            return xl
+            # Persistent extended carry: the loop state stays the
+            # (lz+2T)-plane extended array and each round refreshes only
+            # the 2T halo planes in place — slicing back to local and
+            # re-concatenating would copy the full slab through HBM
+            # twice per round (measured ~half the solve time on a
+            # 512-wide shard).  Rounds are Python-unrolled: a
+            # pallas_call inside lax.fori_loop inside shard_map trips a
+            # lowering-cache KeyError ('closed_call' + varying mesh
+            # axes) in current JAX; the round count is small (iters/T)
+            # and the kernel dominates compile time anyway.
+            below, above = halo_exchange_z(x_local, axis_name, T)
+            ext = jnp.concatenate([below, x_local, above], axis=0)
+            n_rounds = iters // T
+            for r in range(n_rounds):
+                # The kernel materializes the wall faces in-window (same
+                # z→y→x healing order as _ext_faces) before shipping, so
+                # its output is face-consistent as-is.
+                ext = jacobi_ext_pallas(ext, x0_ext, a, c, T,
+                                        wall_lo, wall_hi, b=b,
+                                        interpret=interpret,
+                                        vma=frozenset({axis_name}))
+                if r + 1 < n_rounds:
+                    local = jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
+                    below, above = halo_exchange_z(local, axis_name, T)
+                    ext = jax.lax.dynamic_update_slice_in_dim(
+                        ext, below, 0, axis=0
+                    )
+                    ext = jax.lax.dynamic_update_slice_in_dim(
+                        ext, above, T + lz, axis=0
+                    )
+            return jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
         return jax.lax.fori_loop(0, iters // T, round_body, x_local)
 
     return run(x, x0)
