@@ -59,10 +59,12 @@ def _pallas_usable(cfg: SimConfig) -> bool:
 
 
 def simulate_step_3d(state: FluidState, cfg: SimConfig,
-                     jacobi_fn=None) -> FluidState:
+                     jacobi_fn=None, advect_fn=None) -> FluidState:
     """One product step.  ``jacobi_fn(p, div, iters)`` optionally overrides
     the pressure solve — the hook the explicit halo-exchange solver
     (parallel/halo.jacobi_3d_sharded) plugs into via ``sharded_step_fn``.
+    ``advect_fn(bs, fields, velocity, dt)`` likewise overrides advection
+    (the per-shard kernel, parallel/halo.advect_multi_3d_sharded).
     """
     dt, diff, visc = cfg.effective_params()
     # Static no-obstacle specialization: passing None removes every
@@ -92,6 +94,8 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
 
     # -- self-advection (one shared backtrace for all three components) --
     def advect_fields(bs, fields, velocity):
+        if advect_fn is not None:
+            return advect_fn(bs, fields, velocity, dt)
         if use_pallas:
             from ..pallas.advect import advect_multi_3d_pallas
 

@@ -171,6 +171,199 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     out_dma.wait()
 
 
+def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
+                       fbuf, vbuf, obuf, sems, *, nz: int, n: int,
+                       n_fields: int, slab: int, k_win: int, halo: int,
+                       n_sub: int, dt0: float, bs,
+                       tile_y: int | None = None):
+    """Windowed K-substep advection over an (nz, n, n) halo-extended
+    shard slab.  ``zoff_smem``: int32[1] traced global-z index of the
+    extended array's plane 0 (= rank·lz − halo; negative on rank 0,
+    where the sub-wall planes are erosion garbage anyway).  Passing
+    ``start = zoff + ext_window_start`` into ``_substep_window_vals``
+    makes every global-position formula — backtrace clamp to
+    ``[0.5, N−1.5]``, intermediate wall faces at global z ∈ {0, N−1} —
+    correct verbatim; nothing else in the advection core changes.
+
+    Output contract (``ops.advect._mask_and_bnd_3d``, obstacle-free)
+    materializes on the out window exactly like the single-chip
+    ``fuse_mask`` path, except the global z faces are written by the
+    window whose shipped slab contains them (traced condition) instead
+    of the statically first/last program."""
+    from .advect import _substep_window_vals
+
+    idx = pl.program_id(0)
+    p = slab + 2 * halo
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
+    i = idx // n_ty
+    jy = idx % n_ty
+    z0 = i * slab
+    start = jnp.clip(z0 - halo, 0, nz - p)
+    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
+    ystart = 8 * ystart8
+    off = z0 - start
+    off_y = 8 * (jy * (ty // 8) - ystart8)
+    zoff = zoff_smem[0]
+
+    dmas = (
+        pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(start, p), pl.ds(ystart, py)], fbuf,
+            sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            vel_hbm.at[:, pl.ds(start, p), pl.ds(ystart, py)], vbuf,
+            sems.at[1],
+        ),
+    )
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
+
+    f32 = jnp.float32
+    vel_vals = tuple(vbuf[c].astype(f32) for c in range(3))
+    fields_in = tuple(fbuf[c].astype(f32) for c in range(n_fields))
+    fields_v = _substep_window_vals(
+        fields_in, vel_vals, start=zoff + start, n=n, p=p, k_win=k_win,
+        n_sub=n_sub, dt0=dt0, bs=bs, ystart=ystart, py=py,
+    )
+    for c in range(n_fields):
+        obuf[c, :, :, :] = fields_v[c].astype(obuf.dtype)
+
+    # Output contract: fresh-zero borders + set_bnd faces z→y→x as slice
+    # writes (every border cell is rewritten by a face pass, so no
+    # separate zeroing is needed — same argument as the single-chip
+    # fuse_mask path).  Global z faces sit at traced ext indices.
+    glo = -zoff          # ext index of global plane 0 (may be < 0)
+    ghi = n - 1 - zoff   # ext index of global plane n−1
+    for c in range(n_fields):
+        szf = -1.0 if bs[c] == 3 else 1.0
+        syf = -1.0 if bs[c] == 2 else 1.0
+        sxf = -1.0 if bs[c] == 1 else 1.0
+
+        @pl.when(jnp.logical_and(glo >= z0, glo < z0 + slab))
+        def _(c=c, szf=szf):
+            iz = glo - start
+            src = obuf[c, pl.ds(iz + 1, 1)]
+            obuf[c, pl.ds(iz, 1)] = src if szf == 1.0 else szf * src
+
+        @pl.when(jnp.logical_and(ghi >= z0, ghi < z0 + slab))
+        def _(c=c, szf=szf):
+            iz = ghi - start
+            src = obuf[c, pl.ds(iz - 1, 1)]
+            obuf[c, pl.ds(iz, 1)] = src if szf == 1.0 else szf * src
+
+        @pl.when(jy == 0)
+        def _(c=c, syf=syf):
+            src = obuf[c, :, 1:2, :]
+            obuf[c, :, 0:1, :] = src if syf == 1.0 else syf * src
+
+        @pl.when(jy == n_ty - 1)
+        def _(c=c, syf=syf):
+            src = obuf[c, :, py - 2:py - 1, :]
+            obuf[c, :, py - 1:py, :] = src if syf == 1.0 else syf * src
+
+        xsrc_lo = obuf[c, :, :, 1:2]
+        obuf[c, :, :, 0:1] = xsrc_lo if sxf == 1.0 else sxf * xsrc_lo
+        xsrc_hi = obuf[c, :, :, n - 2:n - 1]
+        obuf[c, :, :, n - 1:n] = xsrc_hi if sxf == 1.0 else sxf * xsrc_hi
+
+    out_dma = pltpu.make_async_copy(
+        obuf.at[:, pl.ds(off, slab), pl.ds(off_y, ty)],
+        out_hbm.at[:, pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],
+        sems.at[2],
+    )
+    out_dma.start()
+    out_dma.wait()
+
+
+def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int):
+    """(slab, tile_y) for the extended-slab advect windows: same VMEM
+    model as ``advect._pick_slab`` (nbuf=1 — no double-buffering yet on
+    the sharded path), slab divides nz, min-redundancy selection."""
+    budget = 120 * 1024 * 1024
+    best = None
+    best_cost = None
+    for tile in (n, n // 2, n // 4, n // 8):
+        if tile < 8 or n % tile or tile % 8:
+            continue
+        ty, _, _, py = tile_geometry(n, None if tile == n else tile, halo)
+        if py > n:
+            continue
+        plane = py * n * 4
+        tile_budget = budget if tile == n else 110 * 1024 * 1024
+        for slab in range(min(32, nz), 0, -1):
+            if nz % slab:
+                continue
+            p = slab + 2 * halo
+            need = ((2 * n_fields + 3) + 28) * p * plane
+            if need > tile_budget or p > nz:
+                continue
+            penalty = 1.25 if (tile != n and n < 256) else 1.0
+            cost = penalty * (p * py) / (slab * ty)
+            if best_cost is None or cost < best_cost:
+                best = (slab, (None if tile == n else tile))
+                best_cost = cost
+            break  # larger slabs dominate at fixed tile
+    return best
+
+
+def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
+                      z_offset, window: int = 1, n_sub: int = 1,
+                      interpret: bool = False, vma=None):
+    """Per-shard windowed substepped advection on halo-extended slabs.
+
+    ``fields_ext``: (F, nz, n, n), ``vel_ext``: (3, nz, n, n) with
+    ``nz = lz + 2·window·n_sub`` (halo-exchanged); ``n`` is the GLOBAL
+    grid size; ``z_offset`` the traced global-z index of extended plane
+    0.  Returns the advected extended array (outer ``window·n_sub``
+    planes are erosion garbage — slice them off).  Obstacle-free only
+    (the sharded explicit path requires it).  Returns None when no
+    VMEM-feasible window exists."""
+    n_fields = fields_ext.shape[0]
+    nz = fields_ext.shape[1]
+    halo = window * n_sub
+    picked = _pick_ext_advect(nz, n, n_fields, halo)
+    if picked is None:
+        return None
+    slab, tile_y = picked
+    p = slab + 2 * halo
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
+    dt0 = float(np.float32(dt) * np.float32(n - 2))
+    zoff = jnp.asarray(z_offset, jnp.int32).reshape((1,))
+
+    kernel = functools.partial(
+        _ext_advect_kernel, nz=nz, n=n, n_fields=n_fields, slab=slab,
+        k_win=window, halo=halo, n_sub=n_sub, dt0=dt0, bs=tuple(bs),
+        tile_y=tile_y,
+    )
+    out_sds = jax.ShapeDtypeStruct((n_fields, nz, n, n), fields_ext.dtype)
+    if vma is not None:
+        out_sds = jax.ShapeDtypeStruct((n_fields, nz, n, n),
+                                       fields_ext.dtype, vma=vma)
+    return pl.pallas_call(
+        kernel,
+        grid=((nz // slab) * n_ty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=out_sds,
+        scratch_shapes=[
+            pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
+            pltpu.VMEM((3, p, py, n), vel_ext.dtype),
+            pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(zoff, fields_ext, vel_ext)
+
+
 def _pick_ext_block(nz: int, n: int, halo: int):
     """(slab, tile_y) for an (nz, n, n) extended slab: slab divides nz
     (z is untiled, no alignment needed), tile divides n (8-aligned).

@@ -60,6 +60,80 @@ def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1):
     return below, above
 
 
+def halo_exchange_z_stacked(x_local, axis_name: str = "z", depth: int = 1):
+    """``halo_exchange_z`` for channel-stacked fields (C, lz, N, N):
+    one ``ppermute`` pair exchanges all channels' edge slabs at once."""
+    if depth > x_local.shape[1]:
+        raise ValueError(
+            f"halo depth={depth} exceeds the local slab depth "
+            f"{x_local.shape[1]}"
+        )
+    n_dev = jax.lax.axis_size(axis_name)
+    top = x_local[:, -depth:]
+    bot = x_local[:, :depth]
+    up = [(i, i + 1) for i in range(n_dev - 1)]
+    down = [(i + 1, i) for i in range(n_dev - 1)]
+    below = jax.lax.ppermute(top, axis_name, up)
+    above = jax.lax.ppermute(bot, axis_name, down)
+    return below, above
+
+
+def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
+                            axis_name: str = "z", window: int = 1,
+                            n_sub: int = 1, interpret: bool = False):
+    """Slab-sharded windowed substepped advection with explicit halo
+    exchange and per-shard Pallas compute
+    (``pallas.halo_kernel.advect_ext_pallas``).
+
+    ``fields``: (F, N, N, N) global (sharded on axis 1), ``vel``:
+    (3, N, N, N).  The backtrace displacement is clamped to ``window``
+    cells per substep, so a ``window·n_sub``-plane halo covers every
+    sample a shard's cells can reach — one exchange of fields+velocity
+    per step, zero during the substeps (which run in VMEM).  Matches
+    ``ops.advect.advect_substep_3d`` (obstacle-free) on the full grid.
+    """
+    n = fields.shape[-1]
+    n_shards = mesh.shape[axis_name]
+    lz_global = fields.shape[1] // n_shards
+    h = window * n_sub
+    if h > lz_global:
+        raise ValueError(
+            f"advect halo {h} (window·n_sub) exceeds local slab depth "
+            f"{lz_global}"
+        )
+    from ..pallas.halo_kernel import _pick_ext_advect
+
+    if _pick_ext_advect(lz_global + 2 * h, n, fields.shape[0], h) is None:
+        raise ValueError(
+            f"no VMEM-feasible advect window for (lz={lz_global}, "
+            f"halo={h}, n={n})"
+        )
+    fspec = P(None, axis_name, None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(fspec, fspec), out_specs=fspec,
+        check_vma=False,  # pallas interpret mixes varying axes (cf. run)
+    )
+    def run(f_local, v_local):
+        from ..pallas.halo_kernel import advect_ext_pallas
+
+        rank = jax.lax.axis_index(axis_name)
+        lz = f_local.shape[1]
+        fb, fa = halo_exchange_z_stacked(f_local, axis_name, h)
+        f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
+        vb, va = halo_exchange_z_stacked(v_local, axis_name, h)
+        v_ext = jnp.concatenate([vb, v_local, va], axis=1)
+        out = advect_ext_pallas(
+            tuple(bs), f_ext, v_ext, n, dt, rank * lz - h,
+            window=window, n_sub=n_sub, interpret=interpret,
+            vma=frozenset({axis_name}),
+        )
+        return jax.lax.slice_in_dim(out, h, h + lz, axis=1)
+
+    return run(fields, vel)
+
+
 def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
     """One Jacobi update on a halo-extended z-slab ``xp`` of shape
     ``(lz + 2·halo, N, N)``.  Updates every interior plane of the extended

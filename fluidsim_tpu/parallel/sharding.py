@@ -64,7 +64,8 @@ def shard_state(state: FluidState, mesh: Mesh, axis_name: str = "z") -> FluidSta
 def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                     n_substeps: int = 1, with_source: bool = True,
                     halo: str = "auto", halo_block_iters: int = 1,
-                    halo_backend: str = "auto"):
+                    halo_backend: str = "auto",
+                    pallas_interpret: bool = False):
     """Compile the full 3D step for a slab-sharded state.
 
     ``halo`` selects the stencil-communication strategy for the pressure
@@ -83,9 +84,13 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
       halos every T sweeps — identical results, T× fewer ICI
       round-trips; see ``parallel.halo``).  ``halo_backend`` selects the
       per-shard compute between exchanges: ``"pallas"`` runs all T
-      sweeps in VMEM windows (3.0× over the XLA sweeps on a 512-wide
+      sweeps in VMEM windows (7.3× over the XLA sweeps on a 512-wide
       shard, measured single-rank on-chip), ``"xla"`` streams HBM per
       sweep, ``"auto"`` picks pallas when feasible on a TPU backend.
+      With pallas it also routes advection through the per-shard advect
+      kernel (``parallel.halo.advect_multi_3d_sharded``) when the
+      scheme/shape allow.  ``pallas_interpret`` runs the per-shard
+      kernels in the Pallas interpreter (CPU-mesh testing only).
 
     ``n_substeps > 1`` rolls steps into one program via ``lax.scan`` so
     halo exchanges pipeline with compute.
@@ -118,7 +123,47 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
             return jacobi_3d_sharded(p, div, 1.0, 6.0, iters, mesh,
                                      axis_name, b=0,
                                      block_iters=halo_block_iters,
-                                     backend=halo_backend)
+                                     backend=halo_backend,
+                                     interpret=pallas_interpret)
+
+    advect_fn = None
+    if halo == "explicit" and halo_backend != "xla":
+        from ..pallas.halo_kernel import _pick_ext_advect
+        from ..pallas.jacobi import pallas_supported
+
+        n = cfg.current_size
+        n_sub = (cfg.advect_substeps
+                 if cfg.advection_scheme == "substep" else 1)
+        h = cfg.advect_window * n_sub
+        lz = n // mesh.shape[axis_name]
+        feasible = (
+            cfg.advection_scheme in ("semi_lagrangian", "substep")
+            and cfg.advect_window >= 1
+            and h <= lz
+            and (pallas_interpret or n % 128 == 0)
+            and _pick_ext_advect(lz + 2 * h, n, 3, h) is not None
+        )
+        if feasible and (pallas_supported() or pallas_interpret
+                         or halo_backend == "pallas"):
+            from .halo import advect_multi_3d_sharded
+
+            def advect_fn(bs, fields, velocity, d_t):
+                return advect_multi_3d_sharded(
+                    bs, fields, velocity, float(d_t), mesh, axis_name,
+                    window=cfg.advect_window, n_sub=n_sub,
+                    interpret=pallas_interpret,
+                )
+
+    # The auto-partitioned body must NOT dispatch the single-chip Pallas
+    # kernels: XLA has no partitioning rule for a pallas_call, so on a
+    # real multi-chip mesh it would all-gather the full volume to every
+    # device, run the kernel replicated, and slice — silently destroying
+    # the sharding.  (CPU-mesh tests never see this: pallas_supported()
+    # is False there.)  Kernel-grade per-shard compute routes through
+    # shard_map instead: halo="explicit" + halo_backend="pallas" for the
+    # pressure solve (parallel.halo), per-shard advect in
+    # pallas.halo_kernel.
+    cfg = cfg.replace(kernel_backend="xla")
 
     sh = state_sharding(mesh, axis_name)
     dt = np.float32(cfg.effective_params()[0])
@@ -130,7 +175,8 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                 state.density, state.velocity, cfg, t
             )
             state = state.replace(density=density, velocity=velocity)
-        return simulate_step_3d(state, cfg, jacobi_fn=jacobi_fn), None
+        return simulate_step_3d(state, cfg, jacobi_fn=jacobi_fn,
+                                advect_fn=advect_fn), None
 
     def body(state):
         if n_substeps == 1:

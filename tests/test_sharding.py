@@ -116,6 +116,42 @@ def test_sharded_jacobi_pallas_backend_matches_xla(b):
     )
 
 
+@pytest.mark.parametrize("bs,F", [((1, 2, 3), 3), ((0,), 1)])
+def test_sharded_advect_pallas_matches_single_chip(bs, F):
+    """Per-shard windowed substepped advection (halo exchange + extended
+    -slab kernel with a traced global-z offset) equals the single-chip
+    advect kernel — which is itself equivalence-tested against the XLA
+    substep path.  Tolerance: the two kernels compile with different
+    window shapes, so XLA's fusion/FMA choices reassociate the two-tap
+    arithmetic — ~0.1% of cells differ at ≲1.3e-5, scattered across ALL
+    planes (not shard boundaries, which would indicate a halo bug)."""
+    from fluidsim_tpu.pallas.advect import advect_multi_3d_pallas
+    from fluidsim_tpu.parallel.halo import advect_multi_3d_sharded
+
+    n = 32
+    fields = jax.random.normal(jax.random.PRNGKey(6), (F, n, n, n),
+                               jnp.float32)
+    vel = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (3, n, n, n),
+                                  jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+
+    out_sh = advect_multi_3d_sharded(bs, fields, vel, 0.05, mesh,
+                                     window=1, n_sub=2, interpret=True)
+    out_ref = advect_multi_3d_pallas(bs, fields, vel, 0.05, None,
+                                     window=1, n_sub=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_ref), rtol=5e-4, atol=5e-5
+    )
+
+    from fluidsim_tpu.ops.advect import advect_substep_3d
+
+    out_xla = advect_substep_3d(bs, fields, vel, 0.05, None, window=1,
+                                n_sub=2)
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_xla), rtol=5e-4, atol=5e-5
+    )
+
+
 def test_sharded_jacobi_pallas_backend_validation():
     n = 32
     x = jnp.zeros((n, n, n), jnp.float32)
@@ -182,6 +218,40 @@ def test_sharded_step_explicit_deep_halo_matches_auto():
     np.testing.assert_allclose(
         np.asarray(s_deep.velocity), np.asarray(s_auto.velocity),
         rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_sharded_step_pallas_kernels_match_auto():
+    """The FULL product step with kernel-grade per-shard compute
+    (explicit halo + pallas jacobi AND pallas advect, interpret mode)
+    matches the auto-partitioned XLA path.  Tolerances allow the advect
+    kernel's window-shape-dependent XLA reassociation (≲1e-5/cell/step,
+    see test_sharded_advect_pallas_matches_single_chip) scaled by the
+    emitter's field magnitudes over 3 steps."""
+    cfg = cfg3d(enable_obstacle=False, advect_window=1)
+    state = fs.zeros_state(cfg)
+
+    mesh = make_mesh(jax.devices()[:8])
+    s_auto = shard_state(state, mesh)
+    s_ker = shard_state(state, mesh)
+    step_auto = sharded_step_fn(cfg, mesh, halo="auto")
+    step_ker = sharded_step_fn(cfg, mesh, halo="explicit",
+                               halo_block_iters=2,
+                               halo_backend="pallas",
+                               pallas_interpret=True)
+    for _ in range(3):
+        s_auto = step_auto(s_auto)
+        s_ker = step_ker(s_ker)
+
+    scale = float(np.abs(np.asarray(s_auto.density)).max())
+    np.testing.assert_allclose(
+        np.asarray(s_ker.density), np.asarray(s_auto.density),
+        rtol=1e-4, atol=1e-4 * scale,
+    )
+    vscale = float(np.abs(np.asarray(s_auto.velocity)).max())
+    np.testing.assert_allclose(
+        np.asarray(s_ker.velocity), np.asarray(s_auto.velocity),
+        rtol=1e-4, atol=1e-4 * vscale,
     )
 
 
