@@ -197,22 +197,25 @@ def cmd_presets(args):
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache (same location as bench.py): the
-    Pallas kernels take minutes to compile cold at ≥256³; repeated CLI
-    invocations hit the cache instead."""
-    cache_dir = os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"),
+    """Persistent XLA compilation cache: the Pallas kernels take minutes
+    to compile cold at ≥256³; repeated CLI invocations hit the cache.
+    Location: $JAX_COMPILATION_CACHE_DIR if set (bench.py sets the
+    repo-local .jax_cache), else ~/.cache/fluidsim_tpu/jax_cache —
+    NOT the package install tree, which may be read-only."""
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "fluidsim_tpu", "jax_cache"
     )
-    import jax
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:  # unwritable location — run uncached
+        pass
 
 
 def main(argv=None):
-    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="fluidsim_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -272,6 +275,8 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_presets)
 
     args = p.parse_args(argv)
+    if args.fn is not cmd_presets:  # presets never touches the device
+        _enable_compile_cache()
     return args.fn(args)
 
 

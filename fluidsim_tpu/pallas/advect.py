@@ -37,7 +37,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .jacobi import pallas_supported, tile_geometry
+from .jacobi import (
+    pallas_supported,
+    tile_geometry,
+    window_cost,
+    window_origin,
+)
 
 try:
     from jax.experimental import pallas as pl
@@ -282,22 +287,16 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
 
-    i = idx // n_ty       # z-slab index
-    jy = idx % n_ty       # y-tile index
-    z0 = i * slab
+    def origin(j):
+        # Shared clipped-origin math (jacobi.window_origin) — the
+        # double-buffer logic needs it for programs j±1/j−2 too.
+        return window_origin(j, nz=n, n=n, slab=slab, halo=halo, ty=ty,
+                             n_ty=n_ty, halo_y=halo_y, py=py)
 
-    def win_start(j):
-        return jnp.clip(j * slab - halo, 0, n - p)
-
-    def win_start_y8(j):
-        # In units of 8 rows, scaled by 8 at use sites — Mosaic's
-        # divisibility prover needs sublane slice offsets in explicit
-        # 8·k form (ty, halo_y, py are all multiples of 8).
-        return jnp.clip(j * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
+    i, jy, z0, _, _, _, _, _ = origin(idx)
 
     def in_dmas(slot, j):
-        s = win_start(j // n_ty)
-        sy = 8 * win_start_y8(j % n_ty)
+        _, _, _, _, s, sy, _, _ = origin(j)
         dmas = (
             pltpu.make_async_copy(
                 fields_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], fbuf.at[slot],
@@ -318,14 +317,10 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
         return dmas
 
     def out_dma(slot, j):
-        iz, jj = j // n_ty, j % n_ty
-        s = win_start(iz)
-        off_j = iz * slab - s
-        off_y = 8 * (jj * (ty // 8) - win_start_y8(jj))
+        _, _, jz0, jy0, _, _, off_j, off_y = origin(j)
         return pltpu.make_async_copy(
             obuf.at[slot, :, pl.ds(off_j, slab), pl.ds(off_y, ty)],
-            out_hbm.at[:, pl.ds(iz * slab, slab),
-                       pl.ds(8 * (jj * (ty // 8)), ty)],
+            out_hbm.at[:, pl.ds(jz0, slab), pl.ds(jy0, ty)],
             sems.at[2, slot],
         )
 
@@ -357,8 +352,7 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
         for d in in_dmas(slot, idx):
             d.wait()
 
-    start = win_start(i)
-    ystart = 8 * win_start_y8(jy)
+    _, _, _, _, start, ystart, _, _ = origin(idx)
     fbuf = fbuf.at[slot]
     vbuf = vbuf.at[slot]
     obuf_slot = obuf.at[slot]
@@ -491,8 +485,7 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
                 need = (nbuf * (2 * n_fields + 3) + mask_w + 28) * p * plane
                 if need > tile_budget or p > n:
                     continue
-                penalty = 1.25 if (tile != n and n < 256) else 1.0
-                key = (penalty * (p * py) / (slab * ty), -nbuf)
+                key = (window_cost(p, py, slab, ty, n, tile != n), -nbuf)
                 if best_key is None or key < best_key:
                     best = (slab, nbuf, (None if tile == n else tile))
                     best_key = key

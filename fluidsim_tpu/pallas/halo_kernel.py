@@ -21,7 +21,9 @@ Differences from the single-chip kernel (``_jacobi_kernel``):
 * **Traced wall positions.**  Under ``shard_map`` the rank is a traced
   value, so whether the slab touches the global z walls cannot be
   compiled statically.  The wall face indices arrive as an SMEM scalar
-  pair ``(wall_lo, wall_hi)`` (−1 ⇒ no wall on that side): the corrected
+  pair ``(wall_lo, wall_hi)`` (``NO_WALL`` ⇒ none on that side; it must
+  be ≤ −2 so ``wall_lo + 1`` matches no plane — −1 would make the
+  corrected read fire at extended plane 0): the corrected
   neighbor reads compare against them at trace-free runtime cost.  On
   the first shard ``wall_lo = T`` (the global z=0 face sits at extended
   index T); on the last, ``wall_hi = T + lz − 1``.  y/x walls are
@@ -44,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .jacobi import _signs, tile_geometry
+from .jacobi import _signs, tile_geometry, window_cost, window_origin
 
 try:
     from jax.experimental import pallas as pl
@@ -54,6 +56,12 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
+# "No wall on this side" sentinel for the traced wall positions.  Must
+# be ≤ −2: the sweep's corrected read compares ``zg == wall_lo + 1``
+# (and the face write ``wall_lo >= z0``), so −1 would fire at extended
+# plane 0.
+NO_WALL = -5
+
 
 def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
                        sems, *, nz: int, n: int, slab: int, halo: int,
@@ -62,21 +70,18 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     """T sweeps on z-windows of the (nz, n, n) extended slab.
 
     ``walls_smem``: int32[2] = (wall_lo, wall_hi) extended-array z indices
-    of the global wall faces, −1 for none.  y-tiling geometry is shared
+    of the global wall faces, ``NO_WALL`` for none.  y-tiling geometry is
+    shared
     with the single-chip kernel (``tile_geometry``); y/x wall handling is
     identical (global y/x walls exist on every shard).
     """
     idx = pl.program_id(0)
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
-    i = idx // n_ty
-    jy = idx % n_ty
-    z0 = i * slab
-    start = jnp.clip(z0 - halo, 0, nz - p)
-    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
-    ystart = 8 * ystart8
-    off = z0 - start
-    off_y = 8 * (jy * (ty // 8) - ystart8)
+    i, jy, z0, y0, start, ystart, off, off_y = window_origin(
+        idx, nz=nz, n=n, slab=slab, halo=halo, ty=ty, n_ty=n_ty,
+        halo_y=halo_y, py=py,
+    )
 
     in_dma = pltpu.make_async_copy(
         x_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], buf0, sems.at[0]
@@ -111,9 +116,10 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
         left = jnp.where(xg == 1, sx * v, roll(v, 1, 2))
         up = jnp.where(yg == n - 2, sy * v, roll(v, -1, 1))
         down = jnp.where(yg == 1, sy * v, roll(v, 1, 1))
-        # z: wall rule only at the traced global-face positions (wall_lo
-        # = −1 compares false everywhere); elsewhere the window neighbor
-        # is halo data and the erosion margin guarantees validity.
+        # z: wall rule only at the traced global-face positions (the
+        # NO_WALL sentinel compares false everywhere); elsewhere the
+        # window neighbor is halo data and the erosion margin
+        # guarantees validity.
         above = jnp.where(zg == wall_hi - 1, sz * v, roll(v, -1, 0))
         below = jnp.where(zg == wall_lo + 1, sz * v, roll(v, 1, 0))
 
@@ -164,7 +170,7 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
 
     out_dma = pltpu.make_async_copy(
         final.at[pl.ds(off, slab), pl.ds(off_y, ty)],
-        out_hbm.at[pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],
+        out_hbm.at[pl.ds(z0, slab), pl.ds(y0, ty)],
         sems.at[2],
     )
     out_dma.start()
@@ -195,14 +201,10 @@ def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
     idx = pl.program_id(0)
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
-    i = idx // n_ty
-    jy = idx % n_ty
-    z0 = i * slab
-    start = jnp.clip(z0 - halo, 0, nz - p)
-    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
-    ystart = 8 * ystart8
-    off = z0 - start
-    off_y = 8 * (jy * (ty // 8) - ystart8)
+    i, jy, z0, y0, start, ystart, off, off_y = window_origin(
+        idx, nz=nz, n=n, slab=slab, halo=halo, ty=ty, n_ty=n_ty,
+        halo_y=halo_y, py=py,
+    )
     zoff = zoff_smem[0]
 
     dmas = (
@@ -270,7 +272,7 @@ def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
 
     out_dma = pltpu.make_async_copy(
         obuf.at[:, pl.ds(off, slab), pl.ds(off_y, ty)],
-        out_hbm.at[:, pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],
+        out_hbm.at[:, pl.ds(z0, slab), pl.ds(y0, ty)],
         sems.at[2],
     )
     out_dma.start()
@@ -299,8 +301,7 @@ def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int):
             need = ((2 * n_fields + 3) + 28) * p * plane
             if need > tile_budget or p > nz:
                 continue
-            penalty = 1.25 if (tile != n and n < 256) else 1.0
-            cost = penalty * (p * py) / (slab * ty)
+            cost = window_cost(p, py, slab, ty, n, tile != n)
             if best_cost is None or cost < best_cost:
                 best = (slab, (None if tile == n else tile))
                 best_cost = cost
@@ -385,8 +386,7 @@ def _pick_ext_block(nz: int, n: int, halo: int):
             window = slab + 2 * halo
             if (3 + 12) * window * plane_bytes > budget or window > nz:
                 continue
-            penalty = 1.25 if (tile != n and n < 256) else 1.0
-            cost = penalty * (window * py) / (slab * ty)
+            cost = window_cost(window, py, slab, ty, n, tile != n)
             if best_cost is None or cost < best_cost:
                 best = (slab, (None if tile == n else tile))
                 best_cost = cost
@@ -401,7 +401,8 @@ def jacobi_ext_pallas(xp, x0_ext, a: float, c: float, t_iters: int,
     ((nz, n, n), nz = lz + 2·T) with rhs ``x0_ext``.
 
     ``wall_lo``/``wall_hi``: traced int32 extended-array indices of the
-    global z wall faces (−1 = this shard does not touch that wall).  The
+    global z wall faces (``NO_WALL`` = this shard does not touch that
+    wall; any value ≤ −2 works, −1 does NOT — see the constant).  The
     outer ``t_iters`` planes of the result are erosion garbage — callers
     slice them off (``parallel.halo.jacobi_3d_sharded`` does).  Returns
     None when no VMEM-feasible window exists (caller falls back to XLA).

@@ -87,6 +87,43 @@ def tile_geometry(n: int, tile_y, halo: int):
     return ty, n_ty, halo_y, py
 
 
+def window_cost(p: int, py: int, slab: int, ty: int, n: int,
+                tiled: bool) -> float:
+    """Calibrated window cost shared by every slab picker: the
+    *redundancy ratio* ``(p·py)/(slab·ty)`` — halo DMA+compute wasted
+    per shipped cell — with a measured ×1.25 penalty for y-tiled windows
+    below n=256, where tiled DMA rows degrade to 512-byte bursts (see
+    ``advect._pick_slab`` for the calibration data)."""
+    penalty = 1.25 if (tiled and n < 256) else 1.0
+    return penalty * (p * py) / (slab * ty)
+
+
+def window_origin(idx, *, nz: int, n: int, slab: int, halo: int,
+                  ty: int, n_ty: int, halo_y: int, py: int):
+    """Clipped window origins for grid program ``idx`` over z-slab ×
+    y-tile pairs (y fastest) on a (nz, …, n) array (``nz = n`` for the
+    single-chip kernels, ``lz + 2·halo`` for the extended-slab ones).
+
+    Returns ``(i, jy, z0, y0, start, ystart, off, off_y)``: slab/tile
+    indices, the shipped slab's z origin and HBM y origin, the window's
+    clipped z/y origins, and the shipped region's offsets inside the
+    window.  Every sublane (y) offset is built in explicit ``8·k`` form
+    for Mosaic's divisibility prover.  Like ``tile_geometry``, every
+    kernel must use THIS function so DMA slice offsets and scratch
+    shapes agree."""
+    p = slab + 2 * halo
+    i = idx // n_ty
+    jy = idx % n_ty
+    z0 = i * slab
+    start = jnp.clip(z0 - halo, 0, nz - p)
+    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
+    ystart = 8 * ystart8
+    off = z0 - start
+    off_y = 8 * (jy * (ty // 8) - ystart8)
+    y0 = 8 * (jy * (ty // 8))
+    return i, jy, z0, y0, start, ystart, off, off_y
+
+
 def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
                    *, n: int, slab: int, halo: int, t_iters: int,
                    a: float, inv_c: float, b: int, tile_y: int | None = None):
@@ -99,17 +136,10 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
     idx = pl.program_id(0)
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
-    i = idx // n_ty
-    jy = idx % n_ty
-    z0 = i * slab
-    start = jnp.clip(z0 - halo, 0, n - p)
-    off = z0 - start  # slab offset inside the window
-    # y offsets in explicit 8·k form: Mosaic's divisibility prover needs
-    # sublane slice offsets provably 8-aligned (ty/halo_y/py are all
-    # multiples of 8).
-    ystart8 = jnp.clip(jy * (ty // 8) - halo_y // 8, 0, (n - py) // 8)
-    ystart = 8 * ystart8
-    off_y = 8 * (jy * (ty // 8) - ystart8)
+    i, jy, z0, y0, start, ystart, off, off_y = window_origin(
+        idx, nz=n, n=n, slab=slab, halo=halo, ty=ty, n_ty=n_ty,
+        halo_y=halo_y, py=py,
+    )
 
     in_dma = pltpu.make_async_copy(
         x_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], buf0, sems.at[0]
@@ -161,7 +191,7 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems,
     final = buf1 if t_iters % 2 == 1 else buf0
     out_dma = pltpu.make_async_copy(
         final.at[pl.ds(off, slab), pl.ds(off_y, ty)],
-        out_hbm.at[pl.ds(z0, slab), pl.ds(8 * (jy * (ty // 8)), ty)],
+        out_hbm.at[pl.ds(z0, slab), pl.ds(y0, ty)],
         sems.at[2],
     )
     out_dma.start()
@@ -201,7 +231,7 @@ def _pick_block(n: int, t_iters: int):
             window = slab + 2 * halo
             if (3 + 12) * window * plane_bytes > budget or window > n:
                 continue
-            cost = (window * py) / (slab * ty)
+            cost = window_cost(window, py, slab, ty, n, tile != n)
             if best_cost is None or cost < best_cost:
                 best = (slab, halo, (None if tile == n else tile))
                 best_cost = cost

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1):
+def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1,
+                    axis: int = 0):
     """Return (below, above): the neighbor edge slabs of this shard.
 
     ``below[j,y,x]`` holds the last ``depth`` z-planes of the shard below
@@ -39,42 +40,28 @@ def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1):
     the shard above (zeros at the global top).  One ``ppermute`` in each
     direction — 2·depth·N²·4 bytes per call over ICI.
 
+    ``axis``: position of the sharded z axis (0 for a plain (lz, N, N)
+    field, 1 for channel-stacked (C, lz, N, N) fields — one ``ppermute``
+    pair then exchanges all channels' edge slabs at once).
+
     ``depth`` must not exceed the local slab depth: a shard only owns
     ``lz`` planes, so a deeper halo would silently come back truncated
-    (``x_local[-depth:]`` caps at ``lz`` planes) and any consumer that
+    (the edge slice caps at ``lz`` planes) and any consumer that
     concatenates ``[below, x, above]`` expecting ``lz + 2·depth`` planes
     would slice against the wrong geometry.
     """
-    if depth > x_local.shape[0]:
+    lz = x_local.shape[axis]
+    if depth > lz:
         raise ValueError(
-            f"halo depth={depth} exceeds the local slab depth "
-            f"{x_local.shape[0]}"
+            f"halo depth={depth} exceeds the local slab depth {lz}"
         )
     n_dev = jax.lax.axis_size(axis_name)
-    top_slab = x_local[-depth:]   # sent upward (to rank+1)
-    bot_slab = x_local[:depth]    # sent downward (to rank-1)
+    top_slab = jax.lax.slice_in_dim(x_local, lz - depth, lz, axis=axis)
+    bot_slab = jax.lax.slice_in_dim(x_local, 0, depth, axis=axis)
     up = [(i, i + 1) for i in range(n_dev - 1)]
     down = [(i + 1, i) for i in range(n_dev - 1)]
     below = jax.lax.ppermute(top_slab, axis_name, up)      # from rank-1
     above = jax.lax.ppermute(bot_slab, axis_name, down)    # from rank+1
-    return below, above
-
-
-def halo_exchange_z_stacked(x_local, axis_name: str = "z", depth: int = 1):
-    """``halo_exchange_z`` for channel-stacked fields (C, lz, N, N):
-    one ``ppermute`` pair exchanges all channels' edge slabs at once."""
-    if depth > x_local.shape[1]:
-        raise ValueError(
-            f"halo depth={depth} exceeds the local slab depth "
-            f"{x_local.shape[1]}"
-        )
-    n_dev = jax.lax.axis_size(axis_name)
-    top = x_local[:, -depth:]
-    bot = x_local[:, :depth]
-    up = [(i, i + 1) for i in range(n_dev - 1)]
-    down = [(i + 1, i) for i in range(n_dev - 1)]
-    below = jax.lax.ppermute(top, axis_name, up)
-    above = jax.lax.ppermute(bot, axis_name, down)
     return below, above
 
 
@@ -120,9 +107,9 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
 
         rank = jax.lax.axis_index(axis_name)
         lz = f_local.shape[1]
-        fb, fa = halo_exchange_z_stacked(f_local, axis_name, h)
+        fb, fa = halo_exchange_z(f_local, axis_name, h, axis=1)
         f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
-        vb, va = halo_exchange_z_stacked(v_local, axis_name, h)
+        vb, va = halo_exchange_z(v_local, axis_name, h, axis=1)
         v_ext = jnp.concatenate([vb, v_local, va], axis=1)
         out = advect_ext_pallas(
             tuple(bs), f_ext, v_ext, n, dt, rank * lz - h,
@@ -237,17 +224,34 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         from ..pallas.jacobi import pallas_supported
 
         n = x.shape[-1]
+        # T=1 gives the kernel path nothing to amortize (one sweep per
+        # kernel = XLA-equivalent HBM traffic) and, because rounds are
+        # Python-unrolled, would inline `iters` pallas_calls — a
+        # compile-time blowup.  The kernel path is for the
+        # communication-avoiding cadence (T ≥ 2).
+        deep_enough = T >= 2
         lane_ok = interpret or n % 128 == 0
-        feasible = (
-            lane_ok and _pick_ext_block(lz_global + 2 * T, n, T) is not None
-        )
+        fits = _pick_ext_block(lz_global + 2 * T, n, T) is not None
+        if backend == "pallas":
+            if not deep_enough:
+                raise ValueError(
+                    "backend='pallas' requires block_iters >= 2 (the "
+                    "kernel amortizes T sweeps per HBM pass; at T=1 it "
+                    "has nothing to amortize)"
+                )
+            if not lane_ok:
+                raise ValueError(
+                    f"backend='pallas' requires the grid's lane dim to "
+                    f"be 128-aligned, got n={n}"
+                )
+            if not fits:
+                raise ValueError(
+                    "backend='pallas': no VMEM-feasible window for "
+                    f"(lz={lz_global}, T={T}, n={n})"
+                )
         supported = interpret or pallas_supported()
-        if backend == "pallas" and not feasible:
-            raise ValueError(
-                "backend='pallas': no VMEM-feasible window for "
-                f"(lz={lz_global}, T={T}, n={n})"
-            )
-        use_pallas = feasible and (supported or backend == "pallas")
+        use_pallas = (deep_enough and lane_ok and fits
+                      and (supported or backend == "pallas"))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -270,11 +274,13 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         if use_pallas:
             from ..pallas.halo_kernel import jacobi_ext_pallas
 
+            from ..pallas.halo_kernel import NO_WALL
+
             # Traced wall-face positions: the global z=0 face sits at
             # extended index T on rank 0; z=N−1 at T+lz−1 on the last
-            # rank; −5 (matches no zg) elsewhere.
-            wall_lo = jnp.where(rank == 0, T, -5)
-            wall_hi = jnp.where(rank == n_dev - 1, T + lz - 1, -5)
+            # rank; NO_WALL (matches no zg) elsewhere.
+            wall_lo = jnp.where(rank == 0, T, NO_WALL)
+            wall_hi = jnp.where(rank == n_dev - 1, T + lz - 1, NO_WALL)
             # Input contract (same as the single-chip kernel): the
             # corrected reads assume set_bnd-consistent wall faces from
             # sweep 1, where the XLA path reads the raw input faces once.

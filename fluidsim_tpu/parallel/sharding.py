@@ -154,16 +154,24 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                     interpret=pallas_interpret,
                 )
 
-    # The auto-partitioned body must NOT dispatch the single-chip Pallas
-    # kernels: XLA has no partitioning rule for a pallas_call, so on a
-    # real multi-chip mesh it would all-gather the full volume to every
+    # On a multi-shard mesh the auto-partitioned body must NOT dispatch
+    # the single-chip Pallas kernels: XLA has no partitioning rule for a
+    # pallas_call, so it would all-gather the full volume to every
     # device, run the kernel replicated, and slice — silently destroying
     # the sharding.  (CPU-mesh tests never see this: pallas_supported()
     # is False there.)  Kernel-grade per-shard compute routes through
     # shard_map instead: halo="explicit" + halo_backend="pallas" for the
-    # pressure solve (parallel.halo), per-shard advect in
-    # pallas.halo_kernel.
-    cfg = cfg.replace(kernel_backend="xla")
+    # pressure solve and advection (parallel.halo).  A 1-device mesh has
+    # no such hazard and keeps the single-chip kernels.
+    if mesh.shape[axis_name] > 1 and cfg.kernel_backend != "xla":
+        if cfg.kernel_backend == "pallas":
+            raise ValueError(
+                "kernel_backend='pallas' (single-chip kernels) cannot "
+                "run on a multi-shard mesh — XLA would all-gather the "
+                "full volume to every device.  Use halo='explicit', "
+                "halo_backend='pallas' for per-shard kernels."
+            )
+        cfg = cfg.replace(kernel_backend="xla")
 
     sh = state_sharding(mesh, axis_name)
     dt = np.float32(cfg.effective_params()[0])

@@ -35,6 +35,22 @@ def test_jacobi_pick_block_returns_ratio():
     assert ratio == (64 + 20) / 64  # full-width window redundancy
 
 
+def test_ext_pickers_cover_v5e8_shard_shapes():
+    """The extended-slab pickers (per-shard kernels) must stay in sync
+    with the shared cost model — pin the v5e-8 local-shard picks
+    (lz=64, n=512, the BASELINE config-5 shape)."""
+    from fluidsim_tpu.pallas.halo_kernel import (
+        _pick_ext_advect,
+        _pick_ext_block,
+    )
+
+    assert _pick_ext_block(72, 512, 4) == (36, 64)    # jacobi, T=4
+    assert _pick_ext_block(74, 512, 5) == (37, 64)    # jacobi, T=5
+    assert _pick_ext_advect(68, 512, 3, 2) == (4, 128)  # advect K=1×2
+    # Infeasible shapes must return None (→ XLA fallback / clear error).
+    assert _pick_ext_advect(8 + 2 * 16, 512, 3, 16) is None
+
+
 def test_jacobi_cross_t_selection():
     # 256³: (64, T=10, tile 64) measured 13.56 ms — beats every smaller-T
     # candidate despite higher redundancy (fewer HBM passes).

@@ -158,6 +158,21 @@ def test_sharded_jacobi_pallas_backend_validation():
     mesh = make_mesh(jax.devices()[:8])
     with pytest.raises(ValueError, match="backend"):
         jacobi_3d_sharded(x, x, 1.0, 6.0, 20, mesh, backend="cuda")
+    # T=1 gives the kernel nothing to amortize and would Python-unroll
+    # `iters` pallas_calls — must be rejected, not silently compiled.
+    with pytest.raises(ValueError, match="block_iters >= 2"):
+        jacobi_3d_sharded(x, x, 1.0, 6.0, 20, mesh, block_iters=1,
+                          backend="pallas", interpret=True)
+
+
+def test_sharded_step_rejects_single_chip_pallas_on_multishard():
+    """kernel_backend='pallas' (single-chip kernels) on a multi-shard
+    mesh would make XLA all-gather the full volume to every device —
+    must raise, not silently run replicated."""
+    cfg = cfg3d(enable_obstacle=False).replace(kernel_backend="pallas")
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="all-gather"):
+        sharded_step_fn(cfg, mesh)
 
 
 def test_halo_exchange_rejects_deep_halo():
