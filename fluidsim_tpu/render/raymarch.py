@@ -69,6 +69,9 @@ def raymarch_density(density, obstacles=None, *, axis: int = 0,
     # opaque voxels).
     excl = jnp.concatenate([jnp.zeros_like(cum[:1]), cum[:-1]], axis=0)
     trans_excl = jnp.exp(excl)               # T_k (exclusive prefix)
+    # (A no-obstacle fast path factoring the tint out of the z reduction
+    # — avoiding the (N,N,N,3) color volume — measured exactly neutral:
+    # XLA already fuses the channel broadcast into the reduction.)
     acc = jnp.sum((trans_excl * alpha)[..., None] * color, axis=0)
     trans_total = jnp.exp(cum[-1])
     return acc + trans_total[..., None] * bg
