@@ -1,4 +1,4 @@
-from .halo_kernel import jacobi_ext_pallas
+from .halo_kernel import jacobi_ext_pallas, jacobi_ext_rdma
 from .jacobi import jacobi_3d_pallas, pallas_supported
 from .advect import advect_multi_3d_pallas
 from .project import project_3d_pallas

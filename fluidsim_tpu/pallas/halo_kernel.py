@@ -75,7 +75,19 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     with the single-chip kernel (``tile_geometry``); y/x wall handling is
     identical (global y/x walls exist on every shard).
     """
-    idx = pl.program_id(0)
+    _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
+                     sems, pl.program_id(0), nz=nz, n=n, slab=slab,
+                     halo=halo, t_iters=t_iters, a=a, inv_c=inv_c, b=b,
+                     tile_y=tile_y)
+
+
+def _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
+                     sems, idx, *, nz: int, n: int, slab: int, halo: int,
+                     t_iters: int, a: float, inv_c: float, b: int,
+                     tile_y: int | None = None):
+    """Window body shared by the plain extended-slab kernel and the RDMA
+    round kernel: DMA the window in, run T corrected-read sweeps,
+    materialize wall faces, ship the slab."""
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
     i, jy, z0, y0, start, ystart, off, off_y = window_origin(
@@ -365,12 +377,260 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
     )(zoff, fields_ext, vel_ext)
 
 
-def _pick_ext_block(nz: int, n: int, halo: int):
+def _rdma_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
+                        comm, sems, send_sems, recv_sems, *, nz: int, n: int,
+                        slab: int, halo: int, t_iters: int, a: float,
+                        inv_c: float, b: int, axis_name: str, n_win: int,
+                        tile_y: int | None = None):
+    """One communication round of the sharded Jacobi solve with the halo
+    exchange fused INTO the kernel as inter-chip RDMA.
+
+    Grid = ``n_win + 1`` sequential programs.  Programs ``[0, n_win)`` are
+    the plain extended-slab windows (``_ext_window_body``): T corrected-read
+    sweeps each, shipping every plane of the (nz, n, n) output.  Program
+    ``n_win`` is the communication epilogue:
+
+    1. read back this shard's fresh edge slabs from the output (extended
+       planes ``[T, 2T)`` and ``[lz, lz+T)`` — both ≥ T from the array
+       edge, so exact after T sweeps),
+    2. wait on the entry barrier (each rank announced itself to both
+       neighbors from program 0, so a remote write can never target a
+       rank that has not yet allocated this call's buffers),
+    3. ``make_async_remote_copy`` the slabs into the neighbors' VMEM comm
+       buffers over ICI (down: ``comm[0] → comm[3]``, up:
+       ``comm[1] → comm[2]``),
+    4. wait for the neighbors' symmetric sends and DMA them into this
+       shard's output halo planes (``[0, T)`` / ``[lz+T, nz)``), zeroing
+       the global-edge halos instead (bitwise-matching the
+       ``ppermute``-based path, whose edge exchange returns zeros).
+
+    The round's output is therefore the COMPLETE next extended array —
+    local sweep results and refreshed halos — with zero XLA collectives.
+    Skew safety: a neighbor can be at most one round ahead (its round-k+1
+    windows need this rank's round-k edges, which are sent only after this
+    rank's round-k barrier wait), so at any rank's round-k barrier wait
+    each neighbor has at most one pending signal — consuming one per
+    neighbor implies both are inside their round-k call.
+
+    Reference lineage: this is the TPU-native replacement for the slot the
+    reference leaves empty (no NCCL/MPI layer — SURVEY.md §5.8); the
+    per-sweep dataflow is still LinearSolveIterationJob + BoundaryJob
+    (FluidSim.cs:1188-1233, 1235-1289).
+    """
+    idx = pl.program_id(0)
+    rank = jax.lax.axis_index(axis_name)
+    ndev = jax.lax.axis_size(axis_name)
+    barrier = pltpu.get_barrier_semaphore()
+    lz = nz - 2 * halo
+
+    @pl.when(idx == 0)
+    def _announce():
+        @pl.when(rank > 0)
+        def _():
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=rank - 1,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+
+        @pl.when(rank < ndev - 1)
+        def _():
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=rank + 1,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+
+    @pl.when(idx < n_win)
+    def _window():
+        _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1,
+                         x0s, sems, idx, nz=nz, n=n, slab=slab, halo=halo,
+                         t_iters=t_iters, a=a, inv_c=inv_c, b=b,
+                         tile_y=tile_y)
+
+    @pl.when(idx == n_win)
+    def _exchange():
+        # 1. Read back the edge slabs this round just produced.  (An extra
+        # HBM round trip of 2T planes — negligible next to the T sweeps —
+        # in exchange for not threading edge-capture through every
+        # window's shipping logic.)
+        dn_dma = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(halo, halo)], comm.at[0], sems.at[0]
+        )
+        up_dma = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(lz, halo)], comm.at[1], sems.at[1]
+        )
+        dn_dma.start()
+        up_dma.start()
+        dn_dma.wait()
+        up_dma.wait()
+
+        # 2. Both neighbors must have entered this round's call before a
+        # remote write may target their buffers.
+        nnbr = (jnp.where(rank > 0, 1, 0)
+                + jnp.where(rank < ndev - 1, 1, 0))
+        pltpu.semaphore_wait(barrier, nnbr)
+
+        # 3. Push edges over ICI: my bottom local planes become the lower
+        # rank's "from above" halo; my top planes the upper rank's "from
+        # below".
+        @pl.when(rank > 0)
+        def _send_down():
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm.at[0], dst_ref=comm.at[3],
+                send_sem=send_sems.at[0], recv_sem=recv_sems.at[0],
+                device_id=rank - 1,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            rdma.wait_send()
+
+        @pl.when(rank < ndev - 1)
+        def _send_up():
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm.at[1], dst_ref=comm.at[2],
+                send_sem=send_sems.at[1], recv_sem=recv_sems.at[1],
+                device_id=rank + 1,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            rdma.wait_send()
+
+        # 4a. Halo from below: the lower rank's send-up lands in comm[2]
+        # and signals recv_sems[1].  (wait_recv on a same-shape descriptor
+        # waits the local recv semaphore for the copy's byte count; the
+        # device_id operand is not used by the wait.)
+        @pl.when(rank > 0)
+        def _recv_below():
+            pltpu.make_async_remote_copy(
+                src_ref=comm.at[1], dst_ref=comm.at[2],
+                send_sem=send_sems.at[1], recv_sem=recv_sems.at[1],
+                device_id=rank,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+            d = pltpu.make_async_copy(
+                comm.at[2], out_hbm.at[pl.ds(0, halo)], sems.at[0]
+            )
+            d.start()
+            d.wait()
+
+        @pl.when(rank == 0)
+        def _zero_below():
+            comm[2] = jnp.zeros((halo, n, n), jnp.float32)
+            d = pltpu.make_async_copy(
+                comm.at[2], out_hbm.at[pl.ds(0, halo)], sems.at[0]
+            )
+            d.start()
+            d.wait()
+
+        # 4b. Halo from above: the upper rank's send-down lands in comm[3]
+        # and signals recv_sems[0].
+        @pl.when(rank < ndev - 1)
+        def _recv_above():
+            pltpu.make_async_remote_copy(
+                src_ref=comm.at[0], dst_ref=comm.at[3],
+                send_sem=send_sems.at[0], recv_sem=recv_sems.at[0],
+                device_id=rank,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+            d = pltpu.make_async_copy(
+                comm.at[3], out_hbm.at[pl.ds(lz + halo, halo)], sems.at[1]
+            )
+            d.start()
+            d.wait()
+
+        @pl.when(rank == ndev - 1)
+        def _zero_above():
+            comm[3] = jnp.zeros((halo, n, n), jnp.float32)
+            d = pltpu.make_async_copy(
+                comm.at[3], out_hbm.at[pl.ds(lz + halo, halo)], sems.at[1]
+            )
+            d.start()
+            d.wait()
+
+
+# Barrier-semaphore collective id for the RDMA halo kernels (any fixed
+# value; must be shared by every rank's compilation of the same kernel).
+_RDMA_COLLECTIVE_ID = 0x21
+
+
+def rdma_comm_bytes(halo: int, n: int) -> int:
+    """VMEM footprint of the RDMA round's comm buffers: 4 slabs of
+    (halo, n, n) float32 (send down/up + recv below/above)."""
+    return 4 * halo * n * n * 4
+
+
+def jacobi_ext_rdma(xp, x0_ext, a: float, c: float, t_iters: int,
+                    wall_lo, wall_hi, b: int = 0, axis_name: str = "z",
+                    interpret: bool = False, vma=None):
+    """One RDMA-fused round: ``t_iters`` sweeps on the halo-extended slab
+    ``xp`` ((nz, n, n), nz = lz + 2·T) PLUS the inter-shard halo exchange,
+    all inside one ``pallas_call`` (``_rdma_jacobi_kernel``).
+
+    Returns the complete next extended array — sweep results in the local
+    planes, the neighbors' fresh edge slabs in the halo planes (zeros at
+    the global edges, matching ``parallel.halo.halo_exchange_z``) — so
+    rounds chain with no XLA collectives.  Must be called inside
+    ``shard_map`` over ``axis_name``.  Returns None when no VMEM-feasible
+    window exists.
+    """
+    nz, py_, n = xp.shape
+    assert x0_ext.shape == xp.shape and py_ == n
+    picked = _pick_ext_block(nz, n, t_iters,
+                             extra_bytes=rdma_comm_bytes(t_iters, n))
+    if picked is None:
+        return None
+    slab, tile_y = picked
+    p = slab + 2 * t_iters
+    ty, n_ty, halo_y, py = tile_geometry(n, tile_y, t_iters)
+    n_win = (nz // slab) * n_ty
+    inv_c = float(np.float32(1.0) / np.float32(c))
+    walls = jnp.stack([jnp.asarray(wall_lo, jnp.int32),
+                       jnp.asarray(wall_hi, jnp.int32)])
+
+    kernel = functools.partial(
+        _rdma_jacobi_kernel, nz=nz, n=n, slab=slab, halo=t_iters,
+        t_iters=t_iters, a=float(np.float32(a)), inv_c=inv_c, b=b,
+        axis_name=axis_name, n_win=n_win, tile_y=tile_y,
+    )
+    if interpret:
+        interpret = pltpu.InterpretParams()
+    return pl.pallas_call(
+        kernel,
+        grid=(n_win + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, n, n), xp.dtype) if vma is None
+            else jax.ShapeDtypeStruct((nz, n, n), xp.dtype, vma=vma)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p, py, n), jnp.float32),
+            pltpu.VMEM((p, py, n), jnp.float32),
+            pltpu.VMEM((p, py, n), jnp.float32),
+            pltpu.VMEM((4, t_iters, n, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+            collective_id=_RDMA_COLLECTIVE_ID,
+        ),
+        interpret=interpret,
+    )(walls, xp, x0_ext)
+
+
+def _pick_ext_block(nz: int, n: int, halo: int, extra_bytes: int = 0):
     """(slab, tile_y) for an (nz, n, n) extended slab: slab divides nz
     (z is untiled, no alignment needed), tile divides n (8-aligned).
     Same VMEM model and min-redundancy selection as
-    ``jacobi._pick_block``, with the ×1.25 tiled penalty below n=256."""
-    budget = 120 * 1024 * 1024
+    ``jacobi._pick_block``, with the ×1.25 tiled penalty below n=256.
+    ``extra_bytes``: additional fixed VMEM the caller's kernel holds
+    alongside the windows (e.g. the RDMA comm slabs)."""
+    budget = 120 * 1024 * 1024 - extra_bytes
     best = None
     best_cost = None
     for tile in (n, n // 2, n // 4, n // 8):

@@ -200,16 +200,24 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
     ``"xla"`` streams the extended slab through HBM every sweep
     (``_ext_sweep``); ``"pallas"`` runs all T sweeps in VMEM windows
     (``pallas.halo_kernel.jacobi_ext_pallas`` — kernel-grade local
-    compute, 1-ulp-class ``·1/c`` vs ``/c`` difference); ``"auto"``
-    picks pallas when a TPU backend is live and a window fits, else
-    xla.  ``interpret`` runs the pallas kernel in the interpreter
-    (CPU-mesh tests).
+    compute, 1-ulp-class ``·1/c`` vs ``/c`` difference); ``"rdma"``
+    additionally fuses the halo exchange INTO the kernel as inter-chip
+    RDMA (``jacobi_ext_rdma``: ``make_async_remote_copy`` of the edge
+    slabs between VMEM comm buffers, barrier-synchronized) so steady-
+    state rounds issue zero XLA collectives — identical values to the
+    pallas path; ``"auto"`` picks pallas when a TPU backend is live and
+    a window fits, else xla (never rdma: it is opt-in until validated
+    on real multi-chip hardware).  ``interpret`` runs the pallas/rdma
+    kernels in the (TPU-semantics) interpreter — the only way to
+    exercise the rdma path without a real multi-chip TPU.
     """
     T = int(block_iters)
     if iters % T:
         raise ValueError(f"iters={iters} not divisible by block_iters={T}")
-    if backend not in ("auto", "xla", "pallas"):
-        raise ValueError(f"backend must be auto/xla/pallas, got {backend!r}")
+    if backend not in ("auto", "xla", "pallas", "rdma"):
+        raise ValueError(
+            f"backend must be auto/xla/pallas/rdma, got {backend!r}"
+        )
     n_shards = mesh.shape[axis_name]
     lz_global = x.shape[0] // n_shards
     if T > lz_global:
@@ -219,8 +227,9 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
     spec = P(axis_name, None, None)
 
     use_pallas = False
-    if backend in ("auto", "pallas"):
-        from ..pallas.halo_kernel import _pick_ext_block
+    use_rdma = False
+    if backend in ("auto", "pallas", "rdma"):
+        from ..pallas.halo_kernel import _pick_ext_block, rdma_comm_bytes
         from ..pallas.jacobi import pallas_supported
 
         n = x.shape[-1]
@@ -231,26 +240,29 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         # communication-avoiding cadence (T ≥ 2).
         deep_enough = T >= 2
         lane_ok = interpret or n % 128 == 0
-        fits = _pick_ext_block(lz_global + 2 * T, n, T) is not None
-        if backend == "pallas":
+        extra = rdma_comm_bytes(T, n) if backend == "rdma" else 0
+        fits = _pick_ext_block(lz_global + 2 * T, n, T,
+                               extra_bytes=extra) is not None
+        if backend in ("pallas", "rdma"):
             if not deep_enough:
                 raise ValueError(
-                    "backend='pallas' requires block_iters >= 2 (the "
+                    f"backend={backend!r} requires block_iters >= 2 (the "
                     "kernel amortizes T sweeps per HBM pass; at T=1 it "
                     "has nothing to amortize)"
                 )
             if not lane_ok:
                 raise ValueError(
-                    f"backend='pallas' requires the grid's lane dim to "
+                    f"backend={backend!r} requires the grid's lane dim to "
                     f"be 128-aligned, got n={n}"
                 )
             if not fits:
                 raise ValueError(
-                    "backend='pallas': no VMEM-feasible window for "
+                    f"backend={backend!r}: no VMEM-feasible window for "
                     f"(lz={lz_global}, T={T}, n={n})"
                 )
         supported = interpret or pallas_supported()
-        use_pallas = (deep_enough and lane_ok and fits
+        use_rdma = backend == "rdma"
+        use_pallas = (not use_rdma and deep_enough and lane_ok and fits
                       and (supported or backend == "pallas"))
 
     @functools.partial(
@@ -260,7 +272,7 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         # varying and unvarying operands, which the vma checker rejects
         # (its own error message suggests this workaround); the XLA path
         # keeps the check.
-        check_vma=not use_pallas,
+        check_vma=not (use_pallas or use_rdma),
     )
     def run(x_local, x0_local):
         rank = jax.lax.axis_index(axis_name)
@@ -270,6 +282,26 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         # The rhs never changes: exchange its halo once for all rounds.
         x0b, x0a = halo_exchange_z(x0_local, axis_name, T)
         x0_ext = jnp.concatenate([x0b, x0_local, x0a], axis=0)
+
+        if use_rdma:
+            from ..pallas.halo_kernel import NO_WALL, jacobi_ext_rdma
+
+            wall_lo = jnp.where(rank == 0, T, NO_WALL)
+            wall_hi = jnp.where(rank == n_dev - 1, T + lz - 1, NO_WALL)
+            # Same input contract as the pallas path (set_bnd-consistent
+            # wall faces from sweep 1).
+            x_local = _ext_faces(b, x_local, rank, n_dev, 0, lz)
+            # Prime the first round's halo with one XLA exchange; every
+            # subsequent round's halo arrives via in-kernel RDMA.
+            below, above = halo_exchange_z(x_local, axis_name, T)
+            ext = jnp.concatenate([below, x_local, above], axis=0)
+            for _ in range(iters // T):
+                ext = jacobi_ext_rdma(ext, x0_ext, a, c, T,
+                                      wall_lo, wall_hi, b=b,
+                                      axis_name=axis_name,
+                                      interpret=interpret,
+                                      vma=frozenset({axis_name}))
+            return jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
 
         if use_pallas:
             from ..pallas.halo_kernel import jacobi_ext_pallas

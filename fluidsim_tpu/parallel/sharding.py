@@ -77,16 +77,19 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
       ICI collective-permutes of the single-plane halos.
     * ``"explicit"`` — the pressure solve routes through
       ``parallel.halo.jacobi_3d_sharded``: hand-written ``shard_map`` +
-      per-sweep ``ppermute`` edge-plane exchange.  Same numerics (tested);
-      this is the staging ground for RDMA-halo Pallas kernels.  Requires
-      ``enable_obstacle=False``.  ``halo_block_iters=T>1`` switches the
-      exchange cadence to the communication-avoiding schedule (T-deep
-      halos every T sweeps — identical results, T× fewer ICI
-      round-trips; see ``parallel.halo``).  ``halo_backend`` selects the
-      per-shard compute between exchanges: ``"pallas"`` runs all T
-      sweeps in VMEM windows (7.3× over the XLA sweeps on a 512-wide
-      shard, measured single-rank on-chip), ``"xla"`` streams HBM per
-      sweep, ``"auto"`` picks pallas when feasible on a TPU backend.
+      per-sweep ``ppermute`` edge-plane exchange.  Same numerics (tested).
+      Requires ``enable_obstacle=False``.  ``halo_block_iters=T>1``
+      switches the exchange cadence to the communication-avoiding
+      schedule (T-deep halos every T sweeps — identical results, T×
+      fewer ICI round-trips; see ``parallel.halo``).  ``halo_backend``
+      selects the per-shard compute between exchanges: ``"pallas"`` runs
+      all T sweeps in VMEM windows (7.3× over the XLA sweeps on a
+      512-wide shard, measured single-rank on-chip), ``"rdma"``
+      additionally fuses the halo exchange itself into the kernel as
+      inter-chip remote DMAs (zero XLA collectives in steady state;
+      bitwise-equal to ``"pallas"``, tested in ``tests/test_rdma.py``),
+      ``"xla"`` streams HBM per sweep, ``"auto"`` picks pallas when
+      feasible on a TPU backend.
       With pallas it also routes advection through the per-shard advect
       kernel (``parallel.halo.advect_multi_3d_sharded``) when the
       scheme/shape allow.  ``pallas_interpret`` runs the per-shard
