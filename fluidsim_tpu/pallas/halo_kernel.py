@@ -623,6 +623,253 @@ def jacobi_ext_rdma(xp, x0_ext, a: float, c: float, t_iters: int,
     )(walls, xp, x0_ext)
 
 
+# Separate barrier semaphore for the standalone exchange kernel: its
+# announce/wait pairs must never be confused with the round kernel's (a
+# neighbor's round-entry wait consuming an exchange-entry signal would
+# let it target buffers the exchange call, not the round call, owns).
+_RDMA_EXCHANGE_COLLECTIVE_ID = 0x22
+
+
+def _halo_exchange_kernel(*refs, n_arrays: int, lz: int, h: int,
+                          n: int, axis_name: str):
+    """Build halo-extended arrays entirely in-kernel: copy each input's
+    local planes into the output interior and transport the edge slabs
+    between neighbor shards as inter-chip RDMA.
+
+    ``refs`` layout: ``n_arrays`` HBM inputs ``(C_j, lz, n, n)``,
+    ``n_arrays`` HBM outputs ``(C_j, lz+2h, n, n)``, per-array VMEM comm
+    scratch ``(4, C_j, h, n, n)`` (slots: 0 = send-down staging of my
+    bottom planes, 1 = send-up staging of my top planes, 2 = recv from
+    below, 3 = recv from above), then DMA semaphores: local ``(3·n_arrays,)``,
+    send ``(2·n_arrays,)``, recv ``(2·n_arrays,)``.
+
+    Transport scheme (identical to ``_rdma_jacobi_kernel``'s epilogue and
+    to ``parallel.halo.halo_exchange_z``'s ppermute pattern): my bottom
+    ``h`` planes become the lower rank's from-above halo, my top planes
+    the upper rank's from-below halo; global-edge halos are zeros.  The
+    entry barrier (announce to both neighbors, then wait) guarantees a
+    remote write only ever targets a rank inside the same call — and
+    because announce and wait share this single program, a neighbor's
+    send for call k cannot be issued until this rank announced call k,
+    i.e. until its previous call fully completed.
+    """
+    x_hbm = refs[:n_arrays]
+    out_hbm = refs[n_arrays:2 * n_arrays]
+    comm = refs[2 * n_arrays:3 * n_arrays]
+    base = 3 * n_arrays
+    sems, send_sems, recv_sems = refs[base], refs[base + 1], refs[base + 2]
+
+    rank = jax.lax.axis_index(axis_name)
+    ndev = jax.lax.axis_size(axis_name)
+    barrier = pltpu.get_barrier_semaphore()
+
+    @pl.when(rank > 0)
+    def _():
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=rank - 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    @pl.when(rank < ndev - 1)
+    def _():
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=rank + 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    # Interior copies (input → output planes [h, h+lz)) and edge staging,
+    # all started before any wait so the DMAs overlap.
+    interior = []
+    stages = []
+    for j in range(n_arrays):
+        d = pltpu.make_async_copy(
+            x_hbm[j], out_hbm[j].at[:, pl.ds(h, lz)], sems.at[3 * j]
+        )
+        d.start()
+        interior.append(d)
+        s0 = pltpu.make_async_copy(
+            x_hbm[j].at[:, pl.ds(0, h)], comm[j].at[0], sems.at[3 * j + 1]
+        )
+        s1 = pltpu.make_async_copy(
+            x_hbm[j].at[:, pl.ds(lz - h, h)], comm[j].at[1],
+            sems.at[3 * j + 2]
+        )
+        s0.start()
+        s1.start()
+        stages.append((s0, s1))
+    for s0, s1 in stages:
+        s0.wait()
+        s1.wait()
+
+    # Both neighbors must have entered this call before a remote write
+    # may target their comm buffers.
+    nnbr = (jnp.where(rank > 0, 1, 0)
+            + jnp.where(rank < ndev - 1, 1, 0))
+    pltpu.semaphore_wait(barrier, nnbr)
+
+    # Push all arrays' edges over ICI, then drain the sends.
+    for j in range(n_arrays):
+        @pl.when(rank > 0)
+        def _send_down(j=j):
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm[j].at[0], dst_ref=comm[j].at[3],
+                send_sem=send_sems.at[2 * j], recv_sem=recv_sems.at[2 * j],
+                device_id=rank - 1,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            rdma.wait_send()
+
+        @pl.when(rank < ndev - 1)
+        def _send_up(j=j):
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm[j].at[1], dst_ref=comm[j].at[2],
+                send_sem=send_sems.at[2 * j + 1],
+                recv_sem=recv_sems.at[2 * j + 1],
+                device_id=rank + 1,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            rdma.wait_send()
+
+    # Land the symmetric incoming slabs in the output halo planes
+    # (zeros at the global edges, matching halo_exchange_z).
+    for j in range(n_arrays):
+        cshape = comm[j].shape[1:]  # (C, h, n, n)
+
+        @pl.when(rank > 0)
+        def _recv_below(j=j):
+            pltpu.make_async_remote_copy(
+                src_ref=comm[j].at[1], dst_ref=comm[j].at[2],
+                send_sem=send_sems.at[2 * j + 1],
+                recv_sem=recv_sems.at[2 * j + 1],
+                device_id=rank,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+            d = pltpu.make_async_copy(
+                comm[j].at[2], out_hbm[j].at[:, pl.ds(0, h)],
+                sems.at[3 * j + 1]
+            )
+            d.start()
+            d.wait()
+
+        @pl.when(rank == 0)
+        def _zero_below(j=j, cshape=cshape):
+            comm[j][2] = jnp.zeros(cshape, comm[j].dtype)
+            d = pltpu.make_async_copy(
+                comm[j].at[2], out_hbm[j].at[:, pl.ds(0, h)],
+                sems.at[3 * j + 1]
+            )
+            d.start()
+            d.wait()
+
+        @pl.when(rank < ndev - 1)
+        def _recv_above(j=j):
+            pltpu.make_async_remote_copy(
+                src_ref=comm[j].at[0], dst_ref=comm[j].at[3],
+                send_sem=send_sems.at[2 * j], recv_sem=recv_sems.at[2 * j],
+                device_id=rank,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+            d = pltpu.make_async_copy(
+                comm[j].at[3], out_hbm[j].at[:, pl.ds(lz + h, h)],
+                sems.at[3 * j + 2]
+            )
+            d.start()
+            d.wait()
+
+        @pl.when(rank == ndev - 1)
+        def _zero_above(j=j, cshape=cshape):
+            comm[j][3] = jnp.zeros(cshape, comm[j].dtype)
+            d = pltpu.make_async_copy(
+                comm[j].at[3], out_hbm[j].at[:, pl.ds(lz + h, h)],
+                sems.at[3 * j + 2]
+            )
+            d.start()
+            d.wait()
+
+    for d in interior:
+        d.wait()
+
+
+def exchange_comm_bytes(arrays, depth: int) -> int:
+    """VMEM footprint of ``halo_exchange_rdma``'s comm scratch: 4 slabs
+    of (C, depth, n, n) per array."""
+    total = 0
+    for x in arrays:
+        c, _, _, n = x.shape
+        total += 4 * c * depth * n * n * x.dtype.itemsize
+    return total
+
+
+def halo_exchange_rdma(arrays, depth: int, axis_name: str = "z",
+                       interpret: bool = False, vma=None):
+    """Halo-extend channel-stacked shard slabs with the exchange done as
+    in-kernel inter-chip RDMA (``_halo_exchange_kernel``) — the
+    collective-free replacement for ``halo_exchange_z`` + concatenate.
+
+    ``arrays``: sequence of ``(C_j, lz, n, n)`` local arrays (same lz/n).
+    Returns the matching ``(C_j, lz+2·depth, n, n)`` extended arrays:
+    local planes in the interior, the neighbors' edge slabs in the halo
+    planes (zeros at the global edges).  All arrays ride ONE kernel call,
+    so consecutive exchanges of different arrays can never be reordered
+    against each other across devices.  Must be called inside
+    ``shard_map`` over ``axis_name``.
+
+    Reference lineage: replaces the NCCL/MPI layer slot the reference
+    leaves empty (SURVEY.md §5.8) with TPU ICI remote DMAs.
+    """
+    arrays = list(arrays)
+    lz, n = arrays[0].shape[1], arrays[0].shape[-1]
+    h = int(depth)
+    if h > lz:
+        raise ValueError(f"halo depth={h} exceeds local slab depth {lz}")
+    for x in arrays:
+        if x.shape[1] != lz or x.shape[-1] != n or x.shape[-2] != n:
+            raise ValueError("all arrays must share (lz, n, n) geometry")
+    budget = 100 * 1024 * 1024
+    if exchange_comm_bytes(arrays, h) > budget:
+        raise ValueError(
+            f"RDMA exchange comm scratch exceeds VMEM budget "
+            f"({exchange_comm_bytes(arrays, h)} > {budget} bytes)"
+        )
+    k = len(arrays)
+    kernel = functools.partial(
+        _halo_exchange_kernel, n_arrays=k, lz=lz, h=h, n=n,
+        axis_name=axis_name,
+    )
+    nz = lz + 2 * h
+
+    def sds(x):
+        if vma is None:
+            return jax.ShapeDtypeStruct((x.shape[0], nz, n, n), x.dtype)
+        return jax.ShapeDtypeStruct((x.shape[0], nz, n, n), x.dtype,
+                                    vma=vma)
+
+    if interpret:
+        interpret = pltpu.InterpretParams()
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * k,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * k,
+        out_shape=tuple(sds(x) for x in arrays),
+        scratch_shapes=(
+            [pltpu.VMEM((4, x.shape[0], h, n, n), x.dtype)
+             for x in arrays]
+            + [pltpu.SemaphoreType.DMA((3 * k,)),
+               pltpu.SemaphoreType.DMA((2 * k,)),
+               pltpu.SemaphoreType.DMA((2 * k,))]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+            collective_id=_RDMA_EXCHANGE_COLLECTIVE_ID,
+        ),
+        interpret=interpret,
+    )(*arrays)
+    return list(out)
+
+
 def _pick_ext_block(nz: int, n: int, halo: int, extra_bytes: int = 0):
     """(slab, tile_y) for an (nz, n, n) extended slab: slab divides nz
     (z is untiled, no alignment needed), tile divides n (8-aligned).

@@ -67,7 +67,8 @@ def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1,
 
 def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
                             axis_name: str = "z", window: int = 1,
-                            n_sub: int = 1, interpret: bool = False):
+                            n_sub: int = 1, interpret: bool = False,
+                            transport: str = "ppermute"):
     """Slab-sharded windowed substepped advection with explicit halo
     exchange and per-shard Pallas compute
     (``pallas.halo_kernel.advect_ext_pallas``).
@@ -78,7 +79,16 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
     sample a shard's cells can reach — one exchange of fields+velocity
     per step, zero during the substeps (which run in VMEM).  Matches
     ``ops.advect.advect_substep_3d`` (obstacle-free) on the full grid.
+
+    ``transport="rdma"`` performs that one exchange inside a Pallas
+    kernel as inter-chip remote DMAs (``halo_exchange_rdma`` — both
+    fields and velocity ride one call) instead of XLA ``ppermute``:
+    bitwise-identical extended arrays, zero XLA collectives.
     """
+    if transport not in ("ppermute", "rdma"):
+        raise ValueError(
+            f"transport must be ppermute/rdma, got {transport!r}"
+        )
     n = fields.shape[-1]
     n_shards = mesh.shape[axis_name]
     lz_global = fields.shape[1] // n_shards
@@ -107,10 +117,18 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
 
         rank = jax.lax.axis_index(axis_name)
         lz = f_local.shape[1]
-        fb, fa = halo_exchange_z(f_local, axis_name, h, axis=1)
-        f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
-        vb, va = halo_exchange_z(v_local, axis_name, h, axis=1)
-        v_ext = jnp.concatenate([vb, v_local, va], axis=1)
+        if transport == "rdma":
+            from ..pallas.halo_kernel import halo_exchange_rdma
+
+            f_ext, v_ext = halo_exchange_rdma(
+                [f_local, v_local], h, axis_name, interpret=interpret,
+                vma=frozenset({axis_name}),
+            )
+        else:
+            fb, fa = halo_exchange_z(f_local, axis_name, h, axis=1)
+            f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
+            vb, va = halo_exchange_z(v_local, axis_name, h, axis=1)
+            v_ext = jnp.concatenate([vb, v_local, va], axis=1)
         out = advect_ext_pallas(
             tuple(bs), f_ext, v_ext, n, dt, rank * lz - h,
             window=window, n_sub=n_sub, interpret=interpret,
@@ -279,22 +297,27 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         n_dev = jax.lax.axis_size(axis_name)
         lz = x_local.shape[0]
 
-        # The rhs never changes: exchange its halo once for all rounds.
-        x0b, x0a = halo_exchange_z(x0_local, axis_name, T)
-        x0_ext = jnp.concatenate([x0b, x0_local, x0a], axis=0)
-
         if use_rdma:
-            from ..pallas.halo_kernel import NO_WALL, jacobi_ext_rdma
+            from ..pallas.halo_kernel import (
+                NO_WALL,
+                halo_exchange_rdma,
+                jacobi_ext_rdma,
+            )
 
             wall_lo = jnp.where(rank == 0, T, NO_WALL)
             wall_hi = jnp.where(rank == n_dev - 1, T + lz - 1, NO_WALL)
             # Same input contract as the pallas path (set_bnd-consistent
             # wall faces from sweep 1).
             x_local = _ext_faces(b, x_local, rank, n_dev, 0, lz)
-            # Prime the first round's halo with one XLA exchange; every
-            # subsequent round's halo arrives via in-kernel RDMA.
-            below, above = halo_exchange_z(x_local, axis_name, T)
-            ext = jnp.concatenate([below, x_local, above], axis=0)
+            # Prime the first round's halo and build the rhs's extended
+            # array in ONE RDMA exchange kernel (no XLA collectives
+            # anywhere in the solve); every subsequent round's halo
+            # arrives via the round kernel's own in-kernel RDMA.
+            ext, x0_ext = halo_exchange_rdma(
+                [x_local[None], x0_local[None]], T, axis_name,
+                interpret=interpret, vma=frozenset({axis_name}),
+            )
+            ext, x0_ext = ext[0], x0_ext[0]
             for _ in range(iters // T):
                 ext = jacobi_ext_rdma(ext, x0_ext, a, c, T,
                                       wall_lo, wall_hi, b=b,
@@ -302,6 +325,10 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
                                       interpret=interpret,
                                       vma=frozenset({axis_name}))
             return jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
+
+        # The rhs never changes: exchange its halo once for all rounds.
+        x0b, x0a = halo_exchange_z(x0_local, axis_name, T)
+        x0_ext = jnp.concatenate([x0b, x0_local, x0a], axis=0)
 
         if use_pallas:
             from ..pallas.halo_kernel import jacobi_ext_pallas

@@ -85,9 +85,11 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
       selects the per-shard compute between exchanges: ``"pallas"`` runs
       all T sweeps in VMEM windows (7.3× over the XLA sweeps on a
       512-wide shard, measured single-rank on-chip), ``"rdma"``
-      additionally fuses the halo exchange itself into the kernel as
-      inter-chip remote DMAs (zero XLA collectives in steady state;
-      bitwise-equal to ``"pallas"``, tested in ``tests/test_rdma.py``),
+      additionally performs every halo transport — Jacobi rounds,
+      solve priming/rhs, advection fields+velocity — as in-kernel
+      inter-chip remote DMAs (the full step issues zero XLA
+      collectives; bitwise-equal to ``"pallas"``, tested in
+      ``tests/test_rdma.py``),
       ``"xla"`` streams HBM per sweep, ``"auto"`` picks pallas when
       feasible on a TPU backend.
       With pallas it also routes advection through the per-shard advect
@@ -147,7 +149,7 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
             and _pick_ext_advect(lz + 2 * h, n, 3, h) is not None
         )
         if feasible and (pallas_supported() or pallas_interpret
-                         or halo_backend == "pallas"):
+                         or halo_backend in ("pallas", "rdma")):
             from .halo import advect_multi_3d_sharded
 
             def advect_fn(bs, fields, velocity, d_t):
@@ -155,6 +157,8 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                     bs, fields, velocity, float(d_t), mesh, axis_name,
                     window=cfg.advect_window, n_sub=n_sub,
                     interpret=pallas_interpret,
+                    transport=("rdma" if halo_backend == "rdma"
+                               else "ppermute"),
                 )
 
     # On a multi-shard mesh the auto-partitioned body must NOT dispatch
