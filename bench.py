@@ -25,8 +25,9 @@ import numpy as np
 # Rollout length per dispatch: the host sync costs one tunnel round trip
 # (~36 ms) per trial regardless of length, so longer scans amortize it
 # toward the device-busy floor (1.69 ms/step at 128³ per the profiler
-# trace — see docs/KERNELS.md "device-side step breakdown").
-SUBSTEPS = 250
+# trace — see docs/KERNELS.md "device-side step breakdown").  Measured
+# 566.6 / 577.7 / 583.4 steps/s at 250 / 500 / 1000.
+SUBSTEPS = 1000
 TRIALS = 3
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
