@@ -128,8 +128,9 @@ def main() -> None:
     # the per-frame cost.  Measured as a scanned chunk of frames with one
     # sync — per-frame host dispatches through the axon tunnel add a
     # noisy 0.4–1 ms/frame of enqueue overhead plus the ~36 ms sync
-    # round-trip, which is tunnel artifact, not frame cost.
-    CHUNK = 25
+    # round-trip, which is tunnel artifact, not frame cost (at CHUNK=25
+    # that artifact alone is ~1.4 ms/frame — ~45% of the reading).
+    CHUNK = 200
 
     @jax.jit
     def frame_chunk(state):
