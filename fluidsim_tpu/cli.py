@@ -86,6 +86,10 @@ def cmd_bench(args):
         while done < args.steps:
             with timer:
                 eng.step(per, substeps_per_dispatch=per)
+                # On-device scalar fetch: the ONLY reliable sync on the
+                # axon tunnel (block_until_ready lies); Engine itself no
+                # longer syncs per dispatch, so the bench must.
+                int(eng.state.step)
             done += per
     print(json.dumps({
         "preset": args.preset,
@@ -245,7 +249,9 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
-    sp.set_defaults(fn=cmd_bench)
+    # Long rollouts for throughput: at the default 10 the per-sample
+    # tunnel sync (~36 ms) would dominate small-grid step times.
+    sp.set_defaults(fn=cmd_bench, substeps=100)
 
     sp = sub.add_parser("render", help="run + write frames")
     common(sp, steps=100)

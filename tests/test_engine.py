@@ -47,6 +47,29 @@ def test_engine_runs_and_pauses():
     assert int(eng.state.step) == 4
 
 
+def test_engine_host_step_counter_tracks_device():
+    """_after_dispatch must not fetch the device step scalar (a ~36 ms
+    tunnel sync per dispatch); the host counter it uses instead has to
+    agree with the device count across mixed dispatch sizes, resets, and
+    checkpoint restore."""
+    eng = Engine(tiny_cfg())
+    eng.step(5, substeps_per_dispatch=2)  # 2+2+1 remainder path
+    assert eng._host_step == int(eng.state.step) == 5
+    eng.reset()
+    assert eng._host_step == int(eng.state.step) == 0
+    eng.step(3, substeps_per_dispatch=3)
+    assert eng._host_step == int(eng.state.step) == 3
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        eng.save_checkpoint(path)
+        eng2 = Engine.from_checkpoint(path)
+        assert eng2._host_step == int(eng2.state.step) == 3
+        eng2.step(2)
+        assert eng2._host_step == int(eng2.state.step) == 5
+
+
 def test_engine_scan_rollout_matches_loop():
     e1 = Engine(tiny_cfg())
     e2 = Engine(tiny_cfg())
