@@ -57,6 +57,9 @@ def cmd_run(args):
         n = min(per, args.steps - done)
         with timer:
             eng.step(n, substeps_per_dispatch=n)
+            # Dispatches pipeline (the engine no longer syncs); time real
+            # device completion via an on-device scalar fetch.
+            int(eng.state.step)
         done += n
     summary = timer.summary(steps_per_sample=per)
     if args.checkpoint:
