@@ -110,7 +110,7 @@ def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False,
     elif use_pallas:
         from ..pallas.resident import jacobi_3d_resident, resident_fits
 
-        if resident_fits(n, 4):  # 3 f32 volumes + the bool mask
+        if resident_fits(n, 6):  # 5 f32 volumes + the int8 mask
             p = jacobi_3d_resident(0, p, div, 1.0, 6.0, iters, obst=obst)
         else:
             p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)

@@ -162,12 +162,10 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     """Projection with Pallas div/Jacobi/grad. Returns (vel, p).  Falls
     back to ``ops.project.project_3d`` when the kernels don't apply.
 
-    ``obst`` (bool mask) is supported on the resident path: copy-through
-    and gradient masking run in-kernel; the ``set_bnd`` obstacle mirror is
-    applied host-side here (one cheap fused pass), matching the XLA
-    oracle's face-then-mirror order exactly.
+    ``obst`` (bool mask) is supported on the resident path: copy-through,
+    gradient masking, and the ``set_bnd`` obstacle mirror all run
+    in-kernel (the XLA oracle's faces-then-mirror order).
     """
-    from ..ops.boundary import _mirror_obstacles_axis, set_bnd_3d
     from ..ops.project import project_3d
 
     n = vel.shape[-1]
@@ -177,15 +175,14 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     # pipeline whenever 6 volumes fit on-chip.
     from .resident import project_3d_resident, resident_fits
 
-    if resident_fits(n, 6) and (interpret or pallas_supported()):
-        out_vel, p = project_3d_resident(vel, iters, obst=obst,
-                                         interpret=interpret)
-        if obst is not None:
-            out_vel = jnp.stack([
-                _mirror_obstacles_axis(out_vel[c], obst, axis=2 - c)
-                for c in range(3)
-            ])
-        return out_vel, p
+    # Obstacle variant carries two extra scratch volumes (int8 mask + the
+    # masked-1/c coefficient plane), so gate it a volume tighter.
+    if (resident_fits(n, 6 if obst is None else 7)
+            and (interpret or pallas_supported())):
+        # The set_bnd obstacle mirror is fused into the kernel (after the
+        # in-kernel face writes, the oracle's faces-then-mirror order).
+        return project_3d_resident(vel, iters, obst=obst,
+                                   interpret=interpret)
 
     if obst is not None:  # slab kernels are obstacle-free
         return project_3d(vel, obst, iters, use_pallas=not interpret)

@@ -102,11 +102,26 @@ def _nbr_sum(v):
 
 
 def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
-                iters: int, omask_ref=None):
+                iters: int, coef_ref=None, frozen_ref=None):
     """Run ``iters`` face-maintained Jacobi sweeps ping-ponging pb0↔pb1.
 
-    ``omask_ref``: optional bool obstacle mask — obstacle cells copy the
-    previous iterate (the reference's skip semantics, FluidSim.cs:1205).
+    Obstacle handling (the reference's skip semantics, FluidSim.cs:1205 —
+    obstacle cells copy the previous iterate) is folded into two
+    *precomputed f32 volumes* instead of a per-sweep int8 compare+select:
+
+    * ``coef_ref`` = ``where(obstacle, 0, 1/c)`` — the sweep multiplies the
+      rhs by this volume instead of the scalar ``inv_c``, zeroing obstacle
+      cells at no extra vector-op cost (and no int8→f32 relayout per
+      sweep; the old select formulation measured 2.7× the no-obstacle
+      sweep on-chip).
+    * ``frozen_ref`` = ``where(obstacle, x_init, 0)`` — added back so
+      obstacle cells hold their initial value, which is exactly what
+      iterated copy-through converges to (each sweep copies the previous
+      iterate; faces never overwrite interior cells).  Omit when the
+      initial iterate is zero at obstacle cells (the pressure solve:
+      ``p`` starts at zeros), where ``rhs·coef`` alone reproduces
+      copy-through bit-for-bit up to the sign of zero.
+
     Only valid for ``b == 0`` (scalar solves, where ``set_bnd`` applies no
     obstacle mirror).  Returns the ref holding the final iterate (static).
 
@@ -126,11 +141,12 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         prev = src[:]
         nbr = _nbr_sum(prev)
         rhs = x0_ref[:] + (nbr if a == 1.0 else az * nbr)
-        upd = rhs * ic
-        if omask_ref is not None:
-            # Border obstacle cells are irrelevant: faces are rewritten
-            # below, matching the XLA oracle's interior-only copy-through.
-            upd = jnp.where(omask_ref[:] != 0, prev, upd)
+        # Border obstacle cells are irrelevant either way: faces are
+        # rewritten below, matching the XLA oracle's interior-only
+        # copy-through.
+        upd = rhs * (ic if coef_ref is None else coef_ref[:])
+        if frozen_ref is not None:
+            upd = upd + frozen_ref[:]
         dst[:] = upd
         _write_faces(dst, n, sz, sy, sx)
 
@@ -164,8 +180,8 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, sems,
 
 
 def _jacobi_obst_kernel(x_hbm, x0_hbm, obst_hbm, out_hbm, pb0, pb1, x0s,
-                        omask, sems, *, n: int, b: int, a: float,
-                        inv_c: float, iters: int):
+                        omask, coef, frozen, sems, *, n: int, b: int,
+                        a: float, inv_c: float, iters: int):
     dmas = [
         pltpu.make_async_copy(x_hbm, pb0, sems.at[0]),
         pltpu.make_async_copy(x0_hbm, x0s, sems.at[1]),
@@ -176,8 +192,15 @@ def _jacobi_obst_kernel(x_hbm, x0_hbm, obst_hbm, out_hbm, pb0, pb1, x0s,
     for d in dmas:
         d.wait()
 
+    # One-time mask expansion: all per-sweep obstacle work becomes a
+    # volume multiply (+ add), see _solve_loop.  Arithmetic (not select):
+    # Mosaic cannot relayout full-volume i1 vectors.
+    mf = omask[:].astype(jnp.float32)  # 1.0 at obstacle cells
+    coef[:] = (1.0 - mf) * jnp.asarray(inv_c, jnp.float32)
+    frozen[:] = mf * pb0[:]
+
     final = _solve_loop(x0s, pb0, pb1, n=n, b=b, a=a, inv_c=inv_c,
-                        iters=iters, omask_ref=omask)
+                        iters=iters, coef_ref=coef, frozen_ref=frozen)
 
     out_dma = pltpu.make_async_copy(final, out_hbm, sems.at[3])
     out_dma.start()
@@ -211,7 +234,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -243,6 +266,8 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
             pltpu.VMEM((n, n, n), jnp.float32),
             pltpu.VMEM((n, n, n), jnp.float32),
             pltpu.VMEM((n, n, n), jnp.int8),
+            pltpu.VMEM((n, n, n), jnp.float32),   # coef (masked 1/c)
+            pltpu.VMEM((n, n, n), jnp.float32),   # frozen (masked init)
             pltpu.SemaphoreType.DMA((4,)),
         ],
         **common,
@@ -250,7 +275,8 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
 
 
 def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
-                    sems, *, n: int, iters: int, obst_hbm=None, omask=None):
+                    sems, *, n: int, iters: int, obst_hbm=None, omask=None,
+                    coef=None):
     """``vbuf``/``pstag`` carry the storage dtype (float32 or bfloat16 —
     halving HBM traffic for bf16 fields); the solve buffers (pb0/pb1/divb)
     are always float32: the fixed-point iteration accumulates on-chip in
@@ -285,8 +311,14 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
 
     pb0[:] = jnp.zeros((n, n, n), f32)
     inv6 = float(np.float32(1.0) / np.float32(6.0))
+    if omask is not None:
+        # p starts at zeros, so obstacle copy-through ≡ holding zero —
+        # fold it into the solve coefficient once (no frozen volume
+        # needed) and every sweep runs the no-obstacle body.  Arithmetic
+        # mask: Mosaic cannot relayout full-volume i1 vectors.
+        coef[:] = (1.0 - omask[:].astype(f32)) * jnp.asarray(inv6, f32)
     final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
-                        iters=iters, omask_ref=omask)
+                        iters=iters, coef_ref=coef)
 
     # p is face-consistent (maintained every sweep) — ship it now so the
     # transfer overlaps the gradient computation.
@@ -294,6 +326,36 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
     pstag[:] = pv.astype(pstag.dtype)
     p_dma = pltpu.make_async_copy(pstag, p_hbm, sems.at[1])
     p_dma.start()
+
+    if omask is not None:
+        # One-time setup for the in-kernel obstacle mirror — the exact
+        # arithmetic of ops.boundary._mirror_obstacles_axis, staged
+        # through scratch that is DEAD after the solve (the rhs buffer
+        # and the losing ping-pong buffer) so the mirror adds no VMEM
+        # and, unlike an iota-mask formulation, no register-allocator
+        # spill volumes (a 3×int32-iota + i1 variant spilled 65 MB and
+        # OOM'd VMEM at 128³).
+        mfb = pb1 if final is pb0 else pb0   # f32 obstacle mask
+        mfb[:] = omask[:].astype(f32)        # 1.0 at obstacle cells
+        # Write mask = mask ∧ interior: zero the six wall faces via
+        # O(n²) slice writes (a cell is non-interior iff on some face).
+        divb[:] = mfb[:]
+        zf = jnp.zeros((1, n, n), f32)
+        yf = jnp.zeros((n, 1, n), f32)
+        xf = jnp.zeros((n, n, 1), f32)
+        divb[0:1] = zf
+        divb[n - 1:n] = zf
+        divb[:, 0:1] = yf
+        divb[:, n - 1:n] = yf
+        divb[:, :, 0:1] = xf
+        divb[:, :, n - 1:n] = xf
+
+        def mirror(v, axis):
+            fp = 1.0 - _roll(mfb[:], 1, axis)    # fluid at idx−1
+            fn = 1.0 - _roll(mfb[:], -1, axis)   # fluid at idx+1
+            total = fp * (-_roll(v, 1, axis)) + fn * (-_roll(v, -1, axis))
+            mirrored = total / jnp.maximum(fp + fn, 1.0)
+            return jnp.where(divb[:] != 0.0, mirrored, v)
 
     # Gradient subtraction v −= 0.5·N·∂p with in-place face rewrite, per
     # component; start each component's out-DMA as soon as it's final.
@@ -303,12 +365,19 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         vold = vbuf[comp].astype(f32)
         upd = vold - g
         if omask is not None:
-            # gradient is zeroed in obstacle cells (ops.project.project_3d);
-            # the set_bnd obstacle *mirror* runs host-side after the kernel.
+            # gradient is zeroed in obstacle cells (ops.project.project_3d)
             upd = jnp.where(omask[:] != 0, vold, upd)
         vbuf[comp] = upd.astype(vbuf.dtype)
         sz, sy, sx = _signs(comp + 1)
         _write_faces(vbuf, n, sz, sy, sx, c=comp)
+        if omask is not None:
+            # set_bnd obstacle mirror, fused (was a host-side full-volume
+            # pass per projection: read vel+mask, write vel ≈ 59 MB HBM
+            # at 128³); runs once, after the faces, exactly the oracle's
+            # faces-then-mirror order.
+            vbuf[comp] = mirror(
+                vbuf[comp].astype(f32), axis
+            ).astype(vbuf.dtype)
         dma = pltpu.make_async_copy(
             vbuf.at[comp], velout_hbm.at[comp], sems.at[2 + comp]
         )
@@ -321,10 +390,11 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
 
 
 def _project_obst_kernel(vel_hbm, obst_hbm, velout_hbm, p_hbm,
-                         vbuf, pb0, pb1, divb, pstag, omask, sems,
+                         vbuf, pb0, pb1, divb, pstag, omask, coef, sems,
                          *, n: int, iters: int):
     _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
-                    sems, n=n, iters=iters, obst_hbm=obst_hbm, omask=omask)
+                    sems, n=n, iters=iters, obst_hbm=obst_hbm, omask=omask,
+                    coef=coef)
 
 
 def _advect_project_kernel(vel_hbm, velout_hbm, p_hbm,
@@ -486,10 +556,11 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
     ``ops.project.project_3d`` (the returned div/p wall values are
     solver-internal; p's faces ARE set_bnd-consistent here).
 
-    ``obst``: optional bool mask.  In-kernel it drives the solve's
-    copy-through and the gradient zeroing; the caller must still apply the
-    ``set_bnd`` obstacle *mirror* to the returned velocity components
-    (project_3d_pallas does).
+    ``obst``: optional bool mask.  Fully handled in-kernel: the solve's
+    copy-through (folded into the sweep coefficient volume), the gradient
+    zeroing, and the ``set_bnd`` obstacle *mirror* on the returned
+    velocity components (applied after the face writes — the oracle's
+    faces-then-mirror order).
     """
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n)
@@ -503,7 +574,7 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
             jax.ShapeDtypeStruct((n, n, n), vel.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -528,6 +599,7 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         scratch_shapes=scratch + [
             pltpu.VMEM((n, n, n), jnp.int8),
+            pltpu.VMEM((n, n, n), jnp.float32),   # coef (masked 1/6)
             pltpu.SemaphoreType.DMA((6,)),
         ],
         **common,

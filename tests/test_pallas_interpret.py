@@ -239,8 +239,8 @@ def test_jacobi_resident_obstacle_matches_xla():
 
 def test_project_resident_obstacle_matches_xla():
     """Resident projection with a static obstacle mask (in-kernel
-    copy-through + gradient masking, host-side mirror) equals the full
-    XLA projection."""
+    copy-through, gradient masking, and set_bnd obstacle mirror) equals
+    the full XLA projection."""
     from fluidsim_tpu.ops.project import project_3d
     from fluidsim_tpu.pallas.project import project_3d_pallas
 
