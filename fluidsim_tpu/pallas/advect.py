@@ -256,7 +256,8 @@ def _substep_window_vals(fields_v, vel_vals, *, start, n: int, p: int,
 def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
                    halo: int, dt0: float, n_sub: int, bs, nbuf: int = 1,
                    n_prog: int = 1, fuse_mask: bool = False,
-                   has_obst: bool = False, tile_y: int | None = None):
+                   has_obst: bool = False, tile_y: int | None = None,
+                   self_adv: bool = False):
     """``nbuf=2`` double-buffers across the (sequential) grid programs:
     program i prefetches window i+1's fields+velocity while computing
     window i, and defers each out-DMA's wait to the next reuse of its
@@ -277,7 +278,18 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
     slice shapes/offsets on the sublane dimension to be 8-aligned, and
     extra halo rows are simply more valid data (every formula is
     global-position-based)."""
-    if has_obst:
+    if self_adv:
+        # Self-advection (fields IS the velocity): the field windows
+        # alias the velocity windows — one DMA stream instead of two
+        # identical ones, and nbuf·3 fewer VMEM windows (bigger slabs
+        # where the footprint was the binding constraint).
+        if has_obst:
+            vel_hbm, obst_hbm, out_hbm, vbuf, mbuf, obuf, sems = refs
+        else:
+            vel_hbm, out_hbm, vbuf, obuf, sems = refs
+            obst_hbm = mbuf = None
+        fields_hbm, fbuf = None, vbuf
+    elif has_obst:
         (fields_hbm, vel_hbm, obst_hbm, out_hbm,
          fbuf, vbuf, mbuf, obuf, sems) = refs
     else:
@@ -297,11 +309,13 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
 
     def in_dmas(slot, j):
         _, _, _, _, s, sy, _, _ = origin(j)
-        dmas = (
+        dmas = () if self_adv else (
             pltpu.make_async_copy(
                 fields_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], fbuf.at[slot],
                 sems.at[0, slot],
             ),
+        )
+        dmas += (
             pltpu.make_async_copy(
                 vel_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], vbuf.at[slot],
                 sems.at[1, slot],
@@ -435,7 +449,8 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
         mine.wait()
 
 
-def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
+def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
+               self_adv: bool = False):
     """Returns (slab, nbuf, tile_y).  The VMEM model is *total* footprint:
     declared buffers (nbuf·(2F+3) windows, plus nbuf·¼ for the int8 mask)
     plus the kernel's live temporaries + register-allocator spill slots,
@@ -482,7 +497,10 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False):
                 # totals) — the (32, nbuf=2, halo=4) pick at 128³/K=3
                 # OOM'd the compile without this term.
                 mask_w = (nbuf + 6) if has_obst else 0
-                need = (nbuf * (2 * n_fields + 3) + mask_w + 28) * p * plane
+                # Self-advection aliases the field windows onto the
+                # velocity windows (no separate fields DMA/VMEM).
+                f_in = 0 if self_adv else n_fields
+                need = (nbuf * (f_in + n_fields + 3) + mask_w + 28) * p * plane
                 if need > tile_budget or p > n:
                     continue
                 key = (window_cost(p, py, slab, ty, n, tile != n), -nbuf)
@@ -528,7 +546,14 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     # top of the K-cell windowed sum.
     obst_in_kernel = obst is not None and n_sub > 1
     halo = n_sub * (window + 1) if obst_in_kernel else window * n_sub
-    picked = _pick_slab(n, n_fields, halo, obst_in_kernel)
+    # Velocity self-advection: the advected fields ARE the advecting
+    # velocity (object identity at trace time — models/stable3d.py passes
+    # the same array).  The kernel then aliases the field windows onto
+    # the velocity windows: one in-DMA stream instead of two identical
+    # ones and nbuf·3 fewer VMEM windows, which at 256³ moves the picked
+    # slab from 4 to 8 (window redundancy 2.0 → 1.5).
+    self_adv = fields is vel and tuple(bs) == (1, 2, 3) and n_fields == 3
+    picked = _pick_slab(n, n_fields, halo, obst_in_kernel, self_adv)
     supported = interpret or (pallas_supported() and n % 128 == 0)
     if not supported or picked is None:
         return xla_fallback()
@@ -544,20 +569,21 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
         halo=halo, dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf,
         n_prog=(n // slab) * n_ty, fuse_mask=obst is None,
-        has_obst=obst_in_kernel, tile_y=tile_y,
+        has_obst=obst_in_kernel, tile_y=tile_y, self_adv=self_adv,
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + obst_in_kernel)
-    scratch = [
+    n_in = (1 if self_adv else 2) + obst_in_kernel
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    scratch = [] if self_adv else [
         pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
-        pltpu.VMEM((nbuf, 3, p, py, n), vel.dtype),
     ]
+    scratch.append(pltpu.VMEM((nbuf, 3, p, py, n), vel.dtype))
     if obst_in_kernel:
         scratch.append(pltpu.VMEM((nbuf, p, py, n), jnp.int8))
     scratch += [
         pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
         pltpu.SemaphoreType.DMA((4 if obst_in_kernel else 3, nbuf)),
     ]
-    operands = (fields, vel) + (
+    operands = (() if self_adv else (fields,)) + (vel,) + (
         (obst.astype(jnp.int8),) if obst_in_kernel else ()
     )
     vals = pl.pallas_call(

@@ -337,3 +337,47 @@ def test_project_pallas_matches_xla():
         np.asarray(got_p)[core], np.asarray(ref_p)[core],
         rtol=3e-5, atol=3e-6,
     )
+
+
+def test_advect_pallas_self_advect_aliasing():
+    """Velocity self-advection (fields IS vel, object identity) takes the
+    aliased single-DMA path and equals both the XLA composition and the
+    non-aliased kernel (fresh array copy → two-operand path)."""
+    from fluidsim_tpu.ops.advect import advect_substep_3d
+
+    vel = jnp.stack([consistent(b, 60 + b, scale=0.3) for b in (1, 2, 3)])
+    dt = 0.03
+    for n_sub in (1, 2):
+        ref = advect_substep_3d((1, 2, 3), vel, vel, dt, None, window=1,
+                                n_sub=n_sub)
+        got = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, None,
+                                     window=1, n_sub=n_sub, interpret=True)
+        unaliased = advect_multi_3d_pallas(
+            (1, 2, 3), jnp.array(vel), vel, dt, None, window=1,
+            n_sub=n_sub, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(unaliased))
+
+
+def test_advect_pallas_self_advect_aliasing_obstacles():
+    """Self-advection aliasing with the in-kernel obstacle contract
+    (substeps: zero + faces + mirror per substep)."""
+    from fluidsim_tpu.ops.advect import advect_substep_3d
+
+    vel = jnp.stack([consistent(b, 64 + b, scale=0.3) for b in (1, 2, 3)])
+    obst = _box_obst()
+    dt = 0.03
+    ref = advect_substep_3d((1, 2, 3), vel, vel, dt, obst, window=1, n_sub=3)
+    got = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, obst, window=1,
+                                 n_sub=3, interpret=True)
+    unaliased = advect_multi_3d_pallas(
+        (1, 2, 3), jnp.array(vel), vel, dt, obst, window=1, n_sub=3,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=5e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(unaliased))
