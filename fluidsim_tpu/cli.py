@@ -188,6 +188,8 @@ def cmd_save_config(args):
 def cmd_serve(args):
     args.nan_guard = False
     eng = _build_engine(args)
+    if args.pulse_clock:
+        eng.set_config(eng.cfg.replace(pulse_clock=args.pulse_clock))
     from .render.live import LiveServer
 
     LiveServer(eng, port=args.port,
@@ -278,6 +280,9 @@ def main(argv=None):
     sp.add_argument("--size", type=int, default=None)
     sp.add_argument("--port", type=int, default=8800)
     sp.add_argument("--steps-per-frame", type=int, default=2)
+    # The interactive viewer defaults to the reference's wall-clock pulse
+    # (elapsedTime, FluidSim.cs:394); "sim" gives deterministic pulsing.
+    sp.add_argument("--pulse-clock", choices=("sim", "wall"), default="wall")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("presets", help="list presets")

@@ -109,6 +109,12 @@ class SimConfig:
     source_pulse_rate: float = 1.0      # [Range(0.1, 5)]
     source_pulsing: bool = False
     source_position: Tuple[float, ...] = (0.5, 0.5)  # normalized (x, y[, z])
+    # Clock driving the pulse phase: "sim" uses accumulated simulation time
+    # (deterministic — the default for reproducible runs/benchmarks);
+    # "wall" matches the reference exactly: ``elapsedTime`` accumulates
+    # wall-clock frame deltas while unpaused (FluidSim.cs:394,492-494) and
+    # is fed to the jitted step as a traced operand (no retrace per frame).
+    pulse_clock: str = "sim"
     # 3D-only: unit direction of emitted velocity (the 2D mode uses the
     # reference's source_direction angle, FluidSim.cs:524).
     source_velocity_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0)
@@ -237,6 +243,10 @@ class SimConfig:
             raise ValueError("obstacle_position length must equal ndim")
         if self.jacobi_iters < 1:
             raise ValueError("jacobi_iters must be >= 1")
+        if self.pulse_clock not in ("sim", "wall"):
+            raise ValueError(
+                f"pulse_clock must be 'sim' or 'wall', got {self.pulse_clock!r}"
+            )
         return self
 
     def replace(self, **kw) -> "SimConfig":

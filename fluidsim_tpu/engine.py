@@ -20,6 +20,7 @@ The engine owns:
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -54,6 +55,7 @@ class Engine:
         self.run_id = store.save_run_params(cfg) if store else -1
         self._fps = FrameRateTracker()
         self._step_cache = {}
+        self._clock = time.perf_counter  # swappable for tests
         self.reset()
 
     # -- lifecycle ------------------------------------------------------
@@ -65,6 +67,10 @@ class Engine:
         self.state = zeros_state(self.cfg, obstacles=jnp.asarray(obst))
         self._src_params = source_params(self.cfg)
         self._host_step = 0
+        # Wall-clock elapsedTime for pulse_clock="wall" (FluidSim.cs:394):
+        # accumulates frame deltas only while unpaused.
+        self._elapsed = 0.0
+        self._wall_prev: Optional[float] = None
 
     def set_config(self, cfg: SimConfig) -> None:
         """``OnValidate`` analog (FluidSim.cs:154-180): grid-shape changes
@@ -83,6 +89,10 @@ class Engine:
 
     def set_paused(self, paused: bool) -> None:
         """FluidSim.cs:149-153."""
+        if self.paused and not paused:
+            # Resume: drop the pause gap from the wall-clock accumulator
+            # (Unity's next deltaTime is one frame, not the pause length).
+            self._wall_prev = None
         self.paused = paused
 
     # -- stepping -------------------------------------------------------
@@ -128,8 +138,18 @@ class Engine:
         ``lax.scan`` dispatch — use for throughput runs; metrics are then
         sampled once per dispatch.
         """
+        now = self._clock()
+        delta = (now - self._wall_prev) if self._wall_prev is not None else 0.0
+        self._wall_prev = now
         if self.paused:
+            # elapsedTime does not advance across paused frames
+            # (Update() returns before the += at FluidSim.cs:392-394).
             return self.state
+        if self.cfg.pulse_clock == "wall":
+            self._elapsed += delta
+            self._src_params = self._src_params._replace(
+                pulse_t=jnp.float32(self._elapsed)
+            )
         stepper = self._fused_step(substeps_per_dispatch)
         dispatches, rem = divmod(n, substeps_per_dispatch)
         for _ in range(dispatches):

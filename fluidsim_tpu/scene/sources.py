@@ -49,6 +49,7 @@ class SourceParams(NamedTuple):
     radius: jnp.ndarray     # () base radius in cells (pre res scaling)
     velocity: jnp.ndarray   # () emitted |v| (pre res scaling)
     dir_vec: jnp.ndarray    # (ndim,) unit emission direction
+    pulse_t: jnp.ndarray    # () wall-clock elapsedTime (pulse_clock="wall")
 
 
 def source_params(cfg: SimConfig) -> SourceParams:
@@ -67,6 +68,7 @@ def source_params(cfg: SimConfig) -> SourceParams:
         radius=jnp.float32(cfg.source_radius),
         velocity=jnp.float32(cfg.source_velocity),
         dir_vec=jnp.asarray(dir_vec),
+        pulse_t=jnp.float32(0.0),
     )
 
 
@@ -84,6 +86,7 @@ def _spec_params(spec: SourceSpec, ndim: int) -> SourceParams:
         radius=jnp.float32(spec.radius),
         velocity=jnp.float32(spec.velocity),
         dir_vec=jnp.asarray(dir_vec),
+        pulse_t=jnp.float32(0.0),
     )
 
 
@@ -132,12 +135,18 @@ def apply_custom_source(density, vel, cfg: SimConfig, t,
                         params: SourceParams = None):
     """One frame of all continuous emitters; no-op config ⇒ identity.
 
-    ``t`` is the elapsed time used for pulsing (the reference uses
-    wall-clock ``elapsedTime``, FluidSim.cs:394; the engine feeds sim time).
+    ``t`` is the elapsed time used for pulsing.  With
+    ``cfg.pulse_clock == "sim"`` (default) that is accumulated sim time;
+    with ``"wall"`` and traced ``params``, the engine-maintained
+    wall-clock ``params.pulse_t`` is used instead — the reference's exact
+    semantics (``elapsedTime`` accumulates ``Time.deltaTime`` while
+    unpaused, FluidSim.cs:394, and drives the pulse at :492-494).
     ``params`` overrides the main emitter's scene-dynamic values with
     traced operands (see ``SourceParams``); ``None`` uses the config's
     values as constants.  Returns (density, vel).
     """
+    if cfg.pulse_clock == "wall" and params is not None:
+        t = params.pulse_t
     if cfg.enable_custom_source:
         density, vel = _apply_one(
             density, vel, cfg, t,

@@ -111,6 +111,56 @@ def test_source_reposition_does_not_retrace():
     assert d[20:, 20:].sum() > d[:12, :12].sum()
 
 
+def test_wall_clock_pulse():
+    """pulse_clock="wall" drives the pulse from accumulated wall-clock
+    frame deltas while unpaused (elapsedTime, FluidSim.cs:394,492-494),
+    fed as a traced operand (no retrace per frame)."""
+    cfg = tiny_cfg(source_pulsing=True, source_pulse_rate=1.0,
+                   time_step=1e-4, pulse_clock="wall")
+    eng = Engine(cfg)
+    fake = iter([0.0, 0.25, 0.5])  # deltas: 0 (first call), then 0.25 each
+    eng._clock = lambda: next(fake)
+    eng.step(1)            # elapsed 0.0   -> |sin(0)| = 0, no injection
+    d_after_first = float(jnp.sum(eng.state.density))
+    assert d_after_first == 0.0
+    eng.step(1)            # elapsed 0.25  -> |sin(.25π)| ≈ 0.707
+    d1 = float(jnp.sum(eng.state.density))
+    assert d1 > 0.0
+    eng.step(1)            # elapsed 0.50  -> |sin(.5π)| = 1 (peak)
+    d2 = float(jnp.sum(eng.state.density))
+    # second injection is stronger than the first (0.707 vs 1.0 scale)
+    assert (d2 - d1) > d1 * 1.2
+    # sim clock with the same tiny dt would have injected ~nothing
+    eng_sim = Engine(cfg.replace(pulse_clock="sim"))
+    eng_sim.step(3)
+    assert float(jnp.sum(eng_sim.state.density)) < d1 * 0.1
+    # wall-clock phase is a traced operand: stepping never retraces
+    stepper = eng._fused_step(1)
+    before = stepper._cache_size()
+    eng._clock = __import__("time").perf_counter
+    eng.step(3)
+    assert stepper._cache_size() == before
+
+
+def test_wall_clock_pause_excluded():
+    """Paused frames do not advance elapsedTime (FluidSim.cs:392-394)."""
+    cfg = tiny_cfg(source_pulsing=True, pulse_clock="wall")
+    eng = Engine(cfg)
+    t = {"now": 0.0}
+    eng._clock = lambda: t["now"]
+    eng.step(1)
+    t["now"] = 1.0
+    eng.set_paused(True)
+    eng.step(5)            # paused: no sim, no elapsed accumulation
+    t["now"] = 9.0
+    eng.set_paused(False)  # resume drops the pause gap
+    eng.step(1)
+    assert eng._elapsed == 0.0
+    t["now"] = 9.5
+    eng.step(1)
+    assert abs(eng._elapsed - 0.5) < 1e-9
+
+
 def test_engine_reset_on_resize():
     eng = Engine(tiny_cfg())
     eng.step(2)
