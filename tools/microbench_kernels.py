@@ -96,6 +96,32 @@ def bench_advect(n, picks, F=3, n_sub=2):
         sys.stdout.flush()
 
 
+def bench_advect_self(n, picks, n_sub=2, obst=False):
+    """Velocity self-advection (fields IS vel — the aliased single-DMA
+    path).  ``obst=True`` adds a centered box mask and n_sub>1 so the
+    in-kernel obstacle contract is active (the vortex128 shape)."""
+    rng = np.random.default_rng(0)
+    vel = jnp.asarray(rng.standard_normal((3, n, n, n)) * 0.1, jnp.float32)
+    ob = None
+    if obst:
+        m = np.zeros((n, n, n), bool)
+        q = n // 4
+        m[q:-q, q:-q, q:-q] = True
+        ob = jnp.asarray(m)
+    for (slab, nbuf, tile) in picks:
+        A._pick_slab = lambda *a, _p=(slab, nbuf, tile), **k: _p
+        fn = jax.jit(lambda v: A.advect_multi_3d_pallas(
+            (1, 2, 3), v, v, 0.01, ob, window=1, n_sub=n_sub))
+        try:
+            ms = time_fn(fn, vel)
+            print(f"self-advect n={n} obst={obst} slab={slab} nbuf={nbuf} "
+                  f"tile={tile}: {ms:.2f} ms")
+        except Exception as e:
+            print(f"self-advect n={n} obst={obst} slab={slab} nbuf={nbuf} "
+                  f"tile={tile}: FAIL {type(e).__name__}")
+        sys.stdout.flush()
+
+
 SUITES = {
     "j256": lambda: bench_jacobi(
         256, [(64, 10, 64), (16, 5, None), (16, 2, None), (8, 10, None)]),
@@ -104,6 +130,15 @@ SUITES = {
     "a256": lambda: bench_advect(
         256, [(16, 1, 128), (8, 1, None), (4, 2, None), (32, 1, 64)]),
     "a512": lambda: bench_advect(512, [(8, 2, 64), (4, 2, 128)]),
+    # Self-advect (aliased) contenders: the picker's choice vs the
+    # pre-aliasing winner shape, per headline preset.
+    "sa128": lambda: bench_advect_self(128, [(32, 2, None), (64, 1, None)]),
+    "sa128o": lambda: bench_advect_self(
+        128, [(32, 1, None), (16, 2, None), (32, 2, None)], n_sub=3,
+        obst=True),
+    "sa256": lambda: bench_advect_self(256, [(16, 1, 128), (32, 1, 64)]),
+    "sa512": lambda: bench_advect_self(
+        512, [(16, 1, 64), (8, 2, 64), (16, 2, 64)]),
 }
 
 if __name__ == "__main__":
