@@ -189,11 +189,10 @@ def _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     out_dma.wait()
 
 
-def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
-                       fbuf, vbuf, obuf, sems, *, nz: int, n: int,
+def _ext_advect_kernel(zoff_smem, *refs, nz: int, n: int,
                        n_fields: int, slab: int, k_win: int, halo: int,
                        n_sub: int, dt0: float, bs,
-                       tile_y: int | None = None):
+                       tile_y: int | None = None, self_adv: bool = False):
     """Windowed K-substep advection over an (nz, n, n) halo-extended
     shard slab.  ``zoff_smem``: int32[1] traced global-z index of the
     extended array's plane 0 (= rank·lz − halo; negative on rank 0,
@@ -210,6 +209,15 @@ def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
     of the statically first/last program."""
     from .advect import _substep_window_vals
 
+    if self_adv:
+        # Velocity self-advection: the field windows alias the velocity
+        # windows — one in-DMA stream (same as the single-chip
+        # ``_advect_kernel`` self_adv path).
+        vel_hbm, out_hbm, vbuf, obuf, sems = refs
+        fbuf = vbuf
+    else:
+        fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems = refs
+
     idx = pl.program_id(0)
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
@@ -219,11 +227,13 @@ def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
     )
     zoff = zoff_smem[0]
 
-    dmas = (
+    dmas = () if self_adv else (
         pltpu.make_async_copy(
             fields_hbm.at[:, pl.ds(start, p), pl.ds(ystart, py)], fbuf,
             sems.at[0],
         ),
+    )
+    dmas += (
         pltpu.make_async_copy(
             vel_hbm.at[:, pl.ds(start, p), pl.ds(ystart, py)], vbuf,
             sems.at[1],
@@ -291,10 +301,13 @@ def _ext_advect_kernel(zoff_smem, fields_hbm, vel_hbm, out_hbm,
     out_dma.wait()
 
 
-def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int):
+def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int,
+                     self_adv: bool = False):
     """(slab, tile_y) for the extended-slab advect windows: same VMEM
     model as ``advect._pick_slab`` (nbuf=1 — no double-buffering yet on
-    the sharded path), slab divides nz, min-redundancy selection."""
+    the sharded path), slab divides nz, min-redundancy selection.
+    ``self_adv``: field windows alias the velocity windows (no separate
+    fields DMA/VMEM)."""
     budget = 120 * 1024 * 1024
     best = None
     best_cost = None
@@ -310,7 +323,8 @@ def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int):
             if nz % slab:
                 continue
             p = slab + 2 * halo
-            need = ((2 * n_fields + 3) + 28) * p * plane
+            f_in = 0 if self_adv else n_fields
+            need = ((f_in + n_fields + 3) + 28) * p * plane
             if need > tile_budget or p > nz:
                 continue
             cost = window_cost(p, py, slab, ty, n, tile != n)
@@ -336,7 +350,12 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
     n_fields = fields_ext.shape[0]
     nz = fields_ext.shape[1]
     halo = window * n_sub
-    picked = _pick_ext_advect(nz, n, n_fields, halo)
+    # Velocity self-advection (object identity, as in the single-chip
+    # kernel): alias the field windows onto the velocity windows — one
+    # in-DMA stream, n_fields fewer VMEM windows.
+    self_adv = fields_ext is vel_ext and tuple(bs) == (1, 2, 3) \
+        and n_fields == 3
+    picked = _pick_ext_advect(nz, n, n_fields, halo, self_adv)
     if picked is None:
         return None
     slab, tile_y = picked
@@ -348,33 +367,34 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
     kernel = functools.partial(
         _ext_advect_kernel, nz=nz, n=n, n_fields=n_fields, slab=slab,
         k_win=window, halo=halo, n_sub=n_sub, dt0=dt0, bs=tuple(bs),
-        tile_y=tile_y,
+        tile_y=tile_y, self_adv=self_adv,
     )
     out_sds = jax.ShapeDtypeStruct((n_fields, nz, n, n), fields_ext.dtype)
     if vma is not None:
         out_sds = jax.ShapeDtypeStruct((n_fields, nz, n, n),
                                        fields_ext.dtype, vma=vma)
+    scratch = [] if self_adv else [
+        pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
+    ]
+    scratch += [
+        pltpu.VMEM((3, p, py, n), vel_ext.dtype),
+        pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    operands = (zoff,) + (() if self_adv else (fields_ext,)) + (vel_ext,)
     return pl.pallas_call(
         kernel,
         grid=((nz // slab) * n_ty,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 if self_adv else 2),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=out_sds,
-        scratch_shapes=[
-            pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
-            pltpu.VMEM((3, p, py, n), vel_ext.dtype),
-            pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(zoff, fields_ext, vel_ext)
+    )(*operands)
 
 
 def _rdma_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,

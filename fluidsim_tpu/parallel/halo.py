@@ -100,35 +100,42 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
         )
     from ..pallas.halo_kernel import _pick_ext_advect
 
-    if _pick_ext_advect(lz_global + 2 * h, n, fields.shape[0], h) is None:
+    # Velocity self-advection: object identity must be decided HERE —
+    # shard_map binds its inputs as distinct parameters, so the identity
+    # would be lost inside.  One exchange + the kernel's aliased
+    # single-DMA path (pallas.halo_kernel ``self_adv``).
+    self_adv = fields is vel and tuple(bs) == (1, 2, 3) \
+        and fields.shape[0] == 3
+    if _pick_ext_advect(lz_global + 2 * h, n, fields.shape[0], h,
+                        self_adv) is None:
         raise ValueError(
             f"no VMEM-feasible advect window for (lz={lz_global}, "
             f"halo={h}, n={n})"
         )
     fspec = P(None, axis_name, None, None)
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(fspec, fspec), out_specs=fspec,
-        check_vma=False,  # pallas interpret mixes varying axes (cf. run)
-    )
-    def run(f_local, v_local):
+    def body(f_local, v_local):
         from ..pallas.halo_kernel import advect_ext_pallas
 
         rank = jax.lax.axis_index(axis_name)
-        lz = f_local.shape[1]
+        lz = v_local.shape[1]
         if transport == "rdma":
             from ..pallas.halo_kernel import halo_exchange_rdma
 
-            f_ext, v_ext = halo_exchange_rdma(
-                [f_local, v_local], h, axis_name, interpret=interpret,
+            exts = halo_exchange_rdma(
+                [v_local] if f_local is v_local else [f_local, v_local],
+                h, axis_name, interpret=interpret,
                 vma=frozenset({axis_name}),
             )
+            f_ext, v_ext = (exts[0], exts[0]) if f_local is v_local else exts
         else:
-            fb, fa = halo_exchange_z(f_local, axis_name, h, axis=1)
-            f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
             vb, va = halo_exchange_z(v_local, axis_name, h, axis=1)
             v_ext = jnp.concatenate([vb, v_local, va], axis=1)
+            if f_local is v_local:
+                f_ext = v_ext
+            else:
+                fb, fa = halo_exchange_z(f_local, axis_name, h, axis=1)
+                f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
         out = advect_ext_pallas(
             tuple(bs), f_ext, v_ext, n, dt, rank * lz - h,
             window=window, n_sub=n_sub, interpret=interpret,
@@ -136,6 +143,18 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
         )
         return jax.lax.slice_in_dim(out, h, h + lz, axis=1)
 
+    if self_adv:
+        run = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(fspec,), out_specs=fspec,
+            check_vma=False,  # pallas interpret mixes varying axes
+        )(lambda v_local: body(v_local, v_local))
+        return run(vel)
+
+    run = functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(fspec, fspec), out_specs=fspec,
+        check_vma=False,  # pallas interpret mixes varying axes (cf. body)
+    )(body)
     return run(fields, vel)
 
 

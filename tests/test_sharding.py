@@ -152,6 +152,29 @@ def test_sharded_advect_pallas_matches_single_chip(bs, F):
     )
 
 
+@pytest.mark.parametrize("transport", ["ppermute", "rdma"])
+def test_sharded_self_advect_aliasing(transport):
+    """Velocity self-advection through the sharded path (fields IS vel,
+    object identity) exchanges the velocity ONCE and takes the kernel's
+    aliased single-DMA path — bitwise-equal to the unaliased two-operand
+    path (fresh array copy)."""
+    from fluidsim_tpu.parallel.halo import advect_multi_3d_sharded
+
+    n = 32
+    vel = 0.3 * jax.random.normal(jax.random.PRNGKey(11), (3, n, n, n),
+                                  jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+    aliased = advect_multi_3d_sharded((1, 2, 3), vel, vel, 0.02, mesh,
+                                      window=1, n_sub=2, interpret=True,
+                                      transport=transport)
+    unaliased = advect_multi_3d_sharded((1, 2, 3), jnp.array(vel), vel,
+                                        0.02, mesh, window=1, n_sub=2,
+                                        interpret=True,
+                                        transport=transport)
+    np.testing.assert_array_equal(np.asarray(aliased),
+                                  np.asarray(unaliased))
+
+
 def test_sharded_jacobi_pallas_backend_validation():
     n = 32
     x = jnp.zeros((n, n, n), jnp.float32)
