@@ -572,7 +572,7 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         has_obst=obst_in_kernel, tile_y=tile_y, self_adv=self_adv,
     )
     n_in = (1 if self_adv else 2) + obst_in_kernel
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [] if self_adv else [
         pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
     ]
@@ -590,7 +590,7 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         kernel,
         grid=((n // slab) * n_ty,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_fields, n, n, n), fields.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

@@ -386,8 +386,8 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
         kernel,
         grid=((nz // slab) * n_ty,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 if self_adv else 2),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if self_adv else 2),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=out_sds,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -618,10 +618,10 @@ def jacobi_ext_rdma(xp, x0_ext, a: float, c: float, t_iters: int,
         grid=(n_win + 1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=(
             jax.ShapeDtypeStruct((nz, n, n), xp.dtype) if vma is None
             else jax.ShapeDtypeStruct((nz, n, n), xp.dtype, vma=vma)
@@ -871,8 +871,8 @@ def halo_exchange_rdma(arrays, depth: int, axis_name: str = "z",
     out = pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * k,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * k,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
         out_shape=tuple(sds(x) for x in arrays),
         scratch_shapes=(
             [pltpu.VMEM((4, x.shape[0], h, n, n), x.dtype)
@@ -960,10 +960,10 @@ def jacobi_ext_pallas(xp, x0_ext, a: float, c: float, t_iters: int,
         grid=((nz // slab) * n_ty,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=(
             jax.ShapeDtypeStruct((nz, n, n), xp.dtype) if vma is None
             else jax.ShapeDtypeStruct((nz, n, n), xp.dtype, vma=vma)

@@ -328,10 +328,10 @@ def jacobi_3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((n, n, n), x.dtype),
             scratch_shapes=[
                 pltpu.VMEM((p, py, n), jnp.float32),

@@ -205,8 +205,8 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     div = pl.pallas_call(
         functools.partial(_div_kernel, n=n, slab=slab_div),
         grid=(n // slab_div,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n, n), vel.dtype),
         scratch_shapes=[
             pltpu.VMEM((3, slab_div + 2, n, n), jnp.float32),
@@ -226,10 +226,10 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
         functools.partial(_grad_kernel, n=n, slab=slab_grad),
         grid=(n // slab_grad,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
         scratch_shapes=[
             pltpu.VMEM((3, slab_grad + 2, n, n), jnp.float32),

@@ -231,7 +231,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
         return out.astype(x.dtype)
     inv_c = float(np.float32(1.0) / np.float32(c))
     common = dict(
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
@@ -245,7 +245,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
         )
         return pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
             scratch_shapes=[
                 pltpu.VMEM((n, n, n), jnp.float32),
                 pltpu.VMEM((n, n, n), jnp.float32),
@@ -260,7 +260,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
     )
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         scratch_shapes=[
             pltpu.VMEM((n, n, n), jnp.float32),
             pltpu.VMEM((n, n, n), jnp.float32),
@@ -522,10 +522,10 @@ def advect_project_3d_resident(vel, iters: int, dt: float, *,
     return pl.pallas_call(
         kernel,
         grid=(n // slab + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
@@ -566,8 +566,8 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
     assert vel.shape == (3, n, n, n)
     common = dict(
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
@@ -589,14 +589,14 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
         kernel = functools.partial(_project_kernel, n=n, iters=iters)
         return pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((5,))],
             **common,
         )(vel)
     kernel = functools.partial(_project_obst_kernel, n=n, iters=iters)
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=scratch + [
             pltpu.VMEM((n, n, n), jnp.int8),
             pltpu.VMEM((n, n, n), jnp.float32),   # coef (masked 1/6)

@@ -161,18 +161,18 @@ def lin_solve_2d_resident(b: int, x, x0, a: float, c: float, obst,
         with_obst=with_obst,
     )
     inputs = [x, x0]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     if with_obst:
         inputs.append(obst.astype(jnp.int8))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     else:
         # placeholder operand so the kernel signature is static
         inputs.append(jnp.zeros((1, 1), jnp.int8))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((n, n), jnp.float32),
