@@ -40,6 +40,8 @@ def _build_engine(args, store=None):
         cfg = cfg.replace(kernel_backend=args.backend)
     if getattr(args, "dtype", None):
         cfg = cfg.replace(dtype=args.dtype)
+    if getattr(args, "pulse_clock", None):
+        cfg = cfg.replace(pulse_clock=args.pulse_clock)
     return Engine(cfg, store=store, nan_guard=args.nan_guard)
 
 
@@ -53,6 +55,7 @@ def cmd_run(args):
     timer = StepTimer()
     per = max(args.substeps, 1)
     done = 0
+    sample_steps = []
     while done < args.steps:
         n = min(per, args.steps - done)
         with timer:
@@ -60,8 +63,9 @@ def cmd_run(args):
             # Dispatches pipeline (the engine no longer syncs); time real
             # device completion via an on-device scalar fetch.
             int(eng.state.step)
+        sample_steps.append(n)
         done += n
-    summary = timer.summary(steps_per_sample=per)
+    summary = timer.summary(steps_per_sample=sample_steps)
     if args.checkpoint:
         eng.save_checkpoint(args.checkpoint)
     print(json.dumps({
@@ -79,6 +83,7 @@ def cmd_bench(args):
     eng = _build_engine(args)
     per = max(args.substeps, 1)
     eng.step(per, substeps_per_dispatch=per)  # compile + warm
+    int(eng.state.step)  # sync: keep warmup execution out of sample 1
     from .utils.profiling import StepTimer, trace_profile
     import contextlib
 
@@ -188,8 +193,6 @@ def cmd_save_config(args):
 def cmd_serve(args):
     args.nan_guard = False
     eng = _build_engine(args)
-    if args.pulse_clock:
-        eng.set_config(eng.cfg.replace(pulse_clock=args.pulse_clock))
     from .render.live import LiveServer
 
     LiveServer(eng, port=args.port,
@@ -255,8 +258,9 @@ def main(argv=None):
     sp.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
     # Long rollouts for throughput: at the default 10 the per-sample
-    # tunnel sync (~36 ms) would dominate small-grid step times.
-    sp.set_defaults(fn=cmd_bench, substeps=100)
+    # tunnel sync (~36 ms) would dominate small-grid step times; raise
+    # steps with it so the default run still collects 10 timed samples.
+    sp.set_defaults(fn=cmd_bench, substeps=100, steps=1000)
 
     sp = sub.add_parser("render", help="run + write frames")
     common(sp, steps=100)

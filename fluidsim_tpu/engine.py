@@ -54,6 +54,7 @@ class Engine:
         self.store = store
         self.run_id = store.save_run_params(cfg) if store else -1
         self._fps = FrameRateTracker()
+        self._fps_pending = 0  # steps dispatched since the last FPS tick
         self._step_cache = {}
         self._clock = time.perf_counter  # swappable for tests
         self.reset()
@@ -140,6 +141,10 @@ class Engine:
         """
         now = self._clock()
         delta = (now - self._wall_prev) if self._wall_prev is not None else 0.0
+        # Unity clamps per-frame deltaTime to Maximum Allowed Timestep
+        # (ProjectSettings/TimeManager.asset: 0.33333334), so a host hitch
+        # never jumps elapsedTime — match that for the wall pulse clock.
+        delta = min(delta, 0.33333334)
         self._wall_prev = now
         if self.paused:
             # elapsedTime does not advance across paused frames
@@ -163,7 +168,7 @@ class Engine:
         return self.state
 
     def _after_dispatch(self, n_steps: int) -> None:
-        fps = self._fps.tick()
+        self._fps_pending += n_steps
         # Host-side step counter: fetching ``int(self.state.step)`` here
         # would force a device sync after EVERY dispatch (~36 ms on the
         # tunnel — more than a 128³ dispatch itself).  The count is fully
@@ -195,8 +200,14 @@ class Engine:
             and step_now % max(self.cfg.logging_interval, 1) < n_steps
         ):
             avg, vmax = compute_metrics(self.state.density, self.state.velocity)
+            avg_f, vmax_f = float(avg), float(vmax)  # device sync
+            # FPS is measured between metric syncs (the only points where
+            # wall time reflects completed device work — dispatches
+            # pipeline), covering every step since the previous tick.
+            fps = self._fps.tick(frames=self._fps_pending)
+            self._fps_pending = 0
             self.store.log_runtime_metrics(
-                self.run_id, step_now, float(avg), float(vmax), fps
+                self.run_id, step_now, avg_f, vmax_f, fps
             )
 
     # -- interaction (FluidSim.cs:390-483, 979-988) ---------------------

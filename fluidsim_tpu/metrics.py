@@ -81,11 +81,16 @@ class FrameRateTracker:
         self._smoothed = 0.0
         self._last: Optional[float] = None
 
-    def tick(self, now: Optional[float] = None) -> float:
+    def tick(self, now: Optional[float] = None, frames: int = 1) -> float:
+        """One EMA update over the interval since the previous tick.
+        ``frames`` is how many simulation steps that interval covered —
+        the engine ticks once per metrics sync (dispatches pipeline, so
+        per-dispatch host intervals would measure enqueue time, not
+        device throughput)."""
         now = time.perf_counter() if now is None else now
         if self._last is not None:
             dt = max(now - self._last, 1e-9)
-            inst = 1.0 / dt
+            inst = frames / dt
             self._smoothed = (
                 self.SMOOTH_FACTOR * self._smoothed
                 + (1.0 - self.SMOOTH_FACTOR) * inst

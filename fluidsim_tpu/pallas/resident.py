@@ -353,7 +353,11 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         def mirror(v, axis):
             fp = 1.0 - _roll(mfb[:], 1, axis)    # fluid at idx−1
             fn = 1.0 - _roll(mfb[:], -1, axis)   # fluid at idx+1
-            total = fp * (-_roll(v, 1, axis)) + fn * (-_roll(v, -1, axis))
+            # Selects, not fp·(−v) products: an excluded non-finite
+            # neighbor must contribute 0, not 0·inf = NaN (the oracle's
+            # where(count>0, …, 0) semantics in ops.boundary).
+            total = (jnp.where(fp > 0.0, -_roll(v, 1, axis), 0.0)
+                     + jnp.where(fn > 0.0, -_roll(v, -1, axis), 0.0))
             mirrored = total / jnp.maximum(fp + fn, 1.0)
             return jnp.where(divb[:] != 0.0, mirrored, v)
 

@@ -37,16 +37,20 @@ class StepTimer:
     def count(self) -> int:
         return len(self._samples)
 
-    def summary(self, steps_per_sample: int = 1) -> dict:
+    def summary(self, steps_per_sample=1) -> dict:
+        """``steps_per_sample`` may be a scalar or a per-sample sequence
+        (for a trailing partial dispatch chunk)."""
         if not self._samples:
             return {"count": 0}
-        s = np.asarray(self._samples) / steps_per_sample
+        t = np.asarray(self._samples)
+        per = np.broadcast_to(np.asarray(steps_per_sample, float), t.shape)
+        s = t / per
         return {
             "count": len(s),
             "mean_ms": float(s.mean() * 1e3),
             "p50_ms": float(np.percentile(s, 50) * 1e3),
             "p90_ms": float(np.percentile(s, 90) * 1e3),
-            "steps_per_sec": float(1.0 / s.mean()),
+            "steps_per_sec": float(per.sum() / t.sum()),
         }
 
     def reset(self):

@@ -156,9 +156,22 @@ def test_wall_clock_pause_excluded():
     eng.set_paused(False)  # resume drops the pause gap
     eng.step(1)
     assert eng._elapsed == 0.0
-    t["now"] = 9.5
+    t["now"] = 9.25
     eng.step(1)
-    assert abs(eng._elapsed - 0.5) < 1e-9
+    assert abs(eng._elapsed - 0.25) < 1e-9
+
+
+def test_wall_clock_delta_clamped():
+    """A host hitch advances elapsedTime by at most Unity's Maximum
+    Allowed Timestep (ProjectSettings/TimeManager.asset: 0.33333334)."""
+    cfg = tiny_cfg(source_pulsing=True, pulse_clock="wall")
+    eng = Engine(cfg)
+    t = {"now": 0.0}
+    eng._clock = lambda: t["now"]
+    eng.step(1)
+    t["now"] = 5.0         # 5 s hitch → clamped to one max timestep
+    eng.step(1)
+    assert abs(eng._elapsed - 0.33333334) < 1e-9
 
 
 def test_engine_reset_on_resize():

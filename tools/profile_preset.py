@@ -6,6 +6,9 @@ see docs/KERNELS.md "Measuring through the tunnel").  Components are
 included per the preset's flags (obstacles, buoyancy, confinement, …).
 
 Usage:  python tools/profile_preset.py --preset multi256 [--reps 50]
+        python tools/profile_preset.py --preset vortex128 --ab-obstacle
+(``--ab-obstacle`` also times the no-obstacle variant of the projection
+and advects, pricing the obstacle machinery.)
 """
 import argparse
 import os
@@ -63,6 +66,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="multi256")
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--ab-obstacle", action="store_true",
+                    help="also time no-obstacle variants of the "
+                    "projection/advects (obstacle-cost A/B)")
     args = ap.parse_args()
 
     cfg = fs.get_preset(args.preset)
@@ -79,19 +85,25 @@ def main():
     print(f"{args.preset} components, n={n}, iters={cfg.jacobi_iters}, "
           f"substeps={cfg.advect_substeps} (scan x{reps})", flush=True)
 
-    timed_scan(f"project pallas {cfg.jacobi_iters}it",
-               lambda v: project_3d_pallas(v, cfg.jacobi_iters, obst=obst)[0],
-               vel, reps)
+    ab = ((obst, ""),)
+    if args.ab_obstacle and obst is not None:
+        ab = ((obst, " OBST"), (None, " no-obst"))
+    for ob, tag in ab:
+        timed_scan(f"project pallas {cfg.jacobi_iters}it{tag}",
+                   lambda v, ob=ob: project_3d_pallas(
+                       v, cfg.jacobi_iters, obst=ob)[0],
+                   vel, reps)
     nsub = cfg.advect_substeps if cfg.advection_scheme == "substep" else 1
     win = cfg.advect_window
-    timed_scan(f"advect vel sub{nsub} K{win}",
-               lambda v: advect_multi_3d_pallas(
-                   (1, 2, 3), v, v, dt, obst, window=win, n_sub=nsub), vel,
-               reps)
-    timed_scan(f"advect density sub{nsub} K{win}",
-               lambda d: advect_multi_3d_pallas(
-                   (0,), d[None], vel, dt, obst, window=win, n_sub=nsub)[0],
-               d0, reps)
+    for ob, tag in ab:
+        timed_scan(f"advect vel sub{nsub} K{win}{tag}",
+                   lambda v, ob=ob: advect_multi_3d_pallas(
+                       (1, 2, 3), v, v, dt, ob, window=win, n_sub=nsub), vel,
+                   reps)
+        timed_scan(f"advect density sub{nsub} K{win}{tag}",
+                   lambda d, ob=ob: advect_multi_3d_pallas(
+                       (0,), d[None], vel, dt, ob, window=win, n_sub=nsub)[0],
+                   d0, reps)
     if cfg.enable_obstacle:
         timed_scan("enforce+drag (6-dir)",
                    lambda v: enforce_obstacle_boundaries_3d(
