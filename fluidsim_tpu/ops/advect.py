@@ -57,7 +57,9 @@ def advect_2d(b: int, d0, vel_x, vel_y, dt: float, obst):
     # Fresh zero buffer semantics: only interior non-obstacle cells written.
     out = jnp.zeros_like(d0)
     core = (slice(1, -1), slice(1, -1))
-    out = out.at[core].set(jnp.where(obst[core], 0.0, val[core]))
+    inner = val[core].astype(d0.dtype)  # val may be an f32 accumulator
+    out = out.at[core].set(jnp.where(obst[core], jnp.asarray(0.0, d0.dtype),
+                                     inner))
     return set_bnd_2d(b, out, obst)
 
 
