@@ -107,3 +107,18 @@ def test_png_writer_fallback(tmp_path):
 
     back = np.asarray(Image.open(io.BytesIO(data)))
     np.testing.assert_array_equal(back, img)
+
+
+def test_build_engine_pulse_clock():
+    """cmd_serve's --pulse-clock folds into the engine's config at build
+    time (no post-hoc set_config / obstacle re-rasterization)."""
+    import argparse
+
+    from fluidsim_tpu.cli import _build_engine
+
+    args = argparse.Namespace(
+        preset="smoke32", config=None, size=None, backend=None,
+        dtype=None, nan_guard=False, pulse_clock="wall",
+    )
+    eng = _build_engine(args)
+    assert eng.cfg.pulse_clock == "wall"
