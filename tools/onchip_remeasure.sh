@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Pending on-chip measurements after the 2026-08-18 tunnel outage.
+# Run from the repo root on the TPU host (takes ~30-60 min cold:
+# Mosaic compiles are ~4-5 min per fresh config at >=256^3).
+#
+#   bash tools/onchip_remeasure.sh 2>&1 | tee /tmp/onchip_remeasure.log
+#
+# What it measures and why (all work landed tunnel-down, CPU-verified):
+#   1. headline bench (self-advect aliasing + engine dispatch pipelining)
+#   2. sa* microbench suites: aliased self-advect contender windows
+#   3. vortex128 / multi256 preset p50 (aliasing affects their advects)
+#   4. scene_a 2D check (unchanged paths; regression guard)
+set -u
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 90 python -c "import jax, jax.numpy as jnp; print('probe ok', float(jnp.ones((4,4)).sum()))" || {
+    echo "TUNNEL DOWN - aborting"; exit 1; }
+}
+
+probe
+
+echo "=== 1. headline bench.py ==="
+timeout 3000 python bench.py
+
+echo "=== 2. microbench: aliased self-advect suites ==="
+for s in sa128 sa128o sa256; do
+  echo "--- suite $s ---"
+  timeout 3000 python tools/microbench_kernels.py "$s"
+done
+# sa512 is ~15 min of compiles; run if time permits:
+# timeout 3000 python tools/microbench_kernels.py sa512
+
+echo "=== 3. preset benches (kernels) ==="
+for p in vortex128 multi256; do
+  echo "--- $p ---"
+  timeout 3000 python -m fluidsim_tpu.cli bench --preset "$p" --steps 1000 --substeps 250
+done
+
+echo "=== 4. scene_a 2D regression ==="
+timeout 3000 python -m fluidsim_tpu.cli bench --preset scene_a --steps 1000 --substeps 250
+
+echo "ALL DONE"
