@@ -317,3 +317,27 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.density), np.asarray(eng.state.density)
     )
+
+
+def test_fps_ticks_once_per_metrics_sync(tmp_path):
+    """The logged FPS is measured between metric syncs: one EMA tick per
+    log event covering every step dispatched since the previous tick —
+    per-dispatch ticks would time host enqueue intervals (dispatches
+    pipeline; the engine no longer syncs each one)."""
+    db = str(tmp_path / "m.db")
+    with MetricsStore(db) as store:
+        cfg = tiny_cfg(enable_runtime_logging=True, logging_interval=10)
+        eng = Engine(cfg, store=store)
+        ticks = []
+        real_tick = eng._fps.tick
+
+        def spy_tick(now=None, frames=1):
+            ticks.append(frames)
+            return real_tick(now=now, frames=frames)
+
+        eng._fps.tick = spy_tick
+        # 3 pipelined dispatches of 5 steps between each log event
+        for _ in range(6):
+            eng.step(5, substeps_per_dispatch=5)
+    assert ticks == [10, 10, 10]
+    assert eng._fps_pending == 0
