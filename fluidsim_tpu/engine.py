@@ -68,6 +68,7 @@ class Engine:
         self.state = zeros_state(self.cfg, obstacles=jnp.asarray(obst))
         self._src_params = source_params(self.cfg)
         self._host_step = 0
+        self._fps_pending = 0
         # Wall-clock elapsedTime for pulse_clock="wall" (FluidSim.cs:394):
         # accumulates frame deltas only while unpaused.
         self._elapsed = 0.0
