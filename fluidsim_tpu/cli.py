@@ -191,8 +191,11 @@ def cmd_save_config(args):
 
 
 def cmd_serve(args):
+    from .metrics import MetricsStore
+
     args.nan_guard = False
-    eng = _build_engine(args)
+    store = MetricsStore(args.db) if args.db else None
+    eng = _build_engine(args, store=store)
     from .render.live import LiveServer
 
     LiveServer(eng, port=args.port,
@@ -284,6 +287,9 @@ def main(argv=None):
     sp.add_argument("--size", type=int, default=None)
     sp.add_argument("--port", type=int, default=8800)
     sp.add_argument("--steps-per-frame", type=int, default=2)
+    sp.add_argument("--db", default=None,
+                    help="SQLite store: the viewer's 's' (save config) "
+                    "writes a SimulationRuns row here")
     # The interactive viewer defaults to the reference's wall-clock pulse
     # (elapsedTime, FluidSim.cs:394); "sim" gives deterministic pulsing.
     sp.add_argument("--pulse-clock", choices=("sim", "wall"), default="wall")

@@ -22,6 +22,7 @@ Reference: ``LogCurrentMetrics``/``CalculateFrameRate``
 from __future__ import annotations
 
 import sqlite3
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -106,7 +107,11 @@ class MetricsStore:
                  skip_default_timestep: bool = True):
         self.path = path
         self.skip_default_timestep = skip_default_timestep
-        self._conn = sqlite3.connect(path)
+        # The live viewer logs metrics from its sim thread and saves
+        # configs from HTTP handler threads; sqlite3 connections are
+        # thread-bound by default, so share one under a lock instead.
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.Lock()
         self._conn.execute("PRAGMA foreign_keys = ON;")  # init.sql:1
         self._conn.executescript(_SCHEMA)
         self._conn.commit()
@@ -117,6 +122,10 @@ class MetricsStore:
         reference's refusal to record the float32-0.1 default timestep)."""
         if self.skip_default_timestep and np.float32(cfg.time_step) == np.float32(0.1):
             return -1
+        with self._lock:
+            return self._save_run_params_locked(cfg)
+
+    def _save_run_params_locked(self, cfg: SimConfig) -> int:
         cur = self._conn.execute(
             """INSERT INTO SimulationRuns
                (Size, Diffusion, Viscosity, TimeStep, SourceEnabled,
@@ -154,26 +163,29 @@ class MetricsStore:
         # FluidSim.cs:597 skips rows where either metric is zero.
         if max_velocity == 0.0 or avg_density == 0.0:
             return
-        self._conn.execute(
-            """INSERT INTO RuntimeMetrics
-               (RunID, Step, AverageDensity, MaxVelocityMagnitude, FrameRate)
-               VALUES (?, ?, ?, ?, ?)""",
-            (run_id, step, avg_density, max_velocity, frame_rate),
-        )
-        self._conn.commit()
+        with self._lock:
+            self._conn.execute(
+                """INSERT INTO RuntimeMetrics
+                   (RunID, Step, AverageDensity, MaxVelocityMagnitude, FrameRate)
+                   VALUES (?, ?, ?, ?, ?)""",
+                (run_id, step, avg_density, max_velocity, frame_rate),
+            )
+            self._conn.commit()
 
     def fetch_metrics(self, run_id: int):
-        return self._conn.execute(
-            "SELECT Step, AverageDensity, MaxVelocityMagnitude, FrameRate "
-            "FROM RuntimeMetrics WHERE RunID = ? ORDER BY MetricID",
-            (run_id,),
-        ).fetchall()
+        with self._lock:
+            return self._conn.execute(
+                "SELECT Step, AverageDensity, MaxVelocityMagnitude, FrameRate "
+                "FROM RuntimeMetrics WHERE RunID = ? ORDER BY MetricID",
+                (run_id,),
+            ).fetchall()
 
     def fetch_runs(self):
-        return self._conn.execute(
-            "SELECT RunID, Size, Diffusion, Viscosity, TimeStep, ObstacleType "
-            "FROM SimulationRuns ORDER BY RunID"
-        ).fetchall()
+        with self._lock:
+            return self._conn.execute(
+                "SELECT RunID, Size, Diffusion, Viscosity, TimeStep, "
+                "ObstacleType FROM SimulationRuns ORDER BY RunID"
+            ).fetchall()
 
     def close(self):
         self._conn.close()

@@ -45,7 +45,7 @@ _PAGE = """<!DOCTYPE html>
 <h3>fluidsim_tpu — live ({title})</h3>
 <canvas id="c" width="{size}" height="{size}"></canvas>
 <div class="hint">drag = stir &nbsp;·&nbsp; shift-drag = move emitter
- &nbsp;·&nbsp; space = pause</div>
+ &nbsp;·&nbsp; space = pause &nbsp;·&nbsp; s = save config</div>
 <script>
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
@@ -72,6 +72,7 @@ canvas.onmousemove = e => {{
 }};
 window.onkeydown = e => {{
   if (e.code === 'Space') {{ paused = !paused; post({{type:'pause', paused:paused}}); }}
+  if (e.code === 'KeyS') {{ post({{type:'save'}}); }}
 }};
 async function poll() {{
   try {{
@@ -93,8 +94,10 @@ class LiveServer:
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
                  port: int = 8800, steps_per_frame: int = 2,
-                 display_px: int = 600, poll_ms: int = 60):
+                 display_px: int = 600, poll_ms: int = 60,
+                 config_out: str = "live_config.json"):
         self.engine = engine
+        self.config_out = config_out
         self.lock = threading.Lock()
         self.steps_per_frame = steps_per_frame
         self._running = False
@@ -165,6 +168,19 @@ class LiveServer:
                 self.engine.set_source_position(*pos)
             elif kind == "pause":
                 self.engine.set_paused(bool(ev.get("paused", False)))
+            elif kind == "save":
+                # The menu's Save button (MainMenuEvents.cs:80-100 →
+                # SaveCurrentConfiguration → SQL.SaveSimRunParams): a
+                # SimulationRuns row when a store is attached (serve
+                # --db), else a JSON config file as the stand-in.
+                run_id = self.engine.save_configuration()
+                if self.engine.store is None:
+                    from ..io.checkpoint import save_config
+
+                    save_config(self.config_out, self.engine.cfg)
+                    print(f"config saved to {self.config_out}")
+                else:
+                    print(f"config saved as run {run_id}")
 
     # -- loop -----------------------------------------------------------
     def _render_png(self) -> bytes:

@@ -13,7 +13,7 @@ from fluidsim_tpu.engine import Engine
 from fluidsim_tpu.render.live import LiveServer
 
 
-def make_server():
+def make_server(store=None, **live_kw):
     cfg = SimConfig(
         size=32, time_step=0.05, enable_custom_source=True,
         source_strength=60.0, source_radius=2.0, source_position=(0.3, 0.5),
@@ -21,8 +21,8 @@ def make_server():
         # keep jit compile short so the test's HTTP timeouts are safe
         jacobi_iters=4, double_diffuse=False,
     )
-    eng = Engine(cfg)
-    srv = LiveServer(eng, port=0, steps_per_frame=1, poll_ms=30)
+    eng = Engine(cfg, store=store)
+    srv = LiveServer(eng, port=0, steps_per_frame=1, poll_ms=30, **live_kw)
     srv.start()
     return srv
 
@@ -76,3 +76,32 @@ def test_live_server_end_to_end():
         assert int(srv.engine.state.step) == s1
     finally:
         srv.stop()
+
+
+def test_live_save_config(tmp_path):
+    """'s' = the menu's Save button (MainMenuEvents.cs:80-100): a
+    SimulationRuns row when a store is attached, a JSON config otherwise."""
+    from fluidsim_tpu.io.checkpoint import load_config
+    from fluidsim_tpu.metrics import MetricsStore
+
+    out = str(tmp_path / "cfg.json")
+    srv = make_server(config_out=out)
+    try:
+        assert _post(f"http://127.0.0.1:{srv.port}/event",
+                     {"type": "save"}) == 200
+        cfg = load_config(out)
+        assert cfg.size == srv.engine.cfg.size
+    finally:
+        srv.stop()
+
+    db = str(tmp_path / "m.db")
+    with MetricsStore(db) as store:
+        srv = make_server(store=store)
+        try:
+            assert _post(f"http://127.0.0.1:{srv.port}/event",
+                         {"type": "save"}) == 200
+            runs = store._conn.execute(
+                "SELECT COUNT(*) FROM SimulationRuns").fetchone()[0]
+            assert runs >= 2  # engine-start row + saved row
+        finally:
+            srv.stop()
