@@ -10,7 +10,8 @@ texture to a quad.  Here a small stdlib HTTP server drives the same loop:
 * ``POST /event`` accepts the browser's pointer events — drag forces
   (FluidSim.cs:414-436 math via ``Engine.drag``), shift-drag source
   repositioning (FluidSim.cs:397-402), pause toggling (Esc →
-  ``SetPaused``) — mapped through ``screen_to_grid``
+  ``SetPaused``), and 's' = save config (the menu Save button,
+  MainMenuEvents.cs:80-100) — mapped through ``screen_to_grid``
   (GetMousePositionInGrid parity),
 * ``GET /`` serves a canvas page that polls frames and forwards input.
 
