@@ -40,6 +40,9 @@ def _build_engine(args, store=None):
         cfg = cfg.replace(kernel_backend=args.backend)
     if getattr(args, "dtype", None):
         cfg = cfg.replace(dtype=args.dtype)
+    if getattr(args, "advect_substeps", None):
+        cfg = cfg.replace(advection_scheme="substep",
+                          advect_substeps=args.advect_substeps)
     if getattr(args, "pulse_clock", None):
         cfg = cfg.replace(pulse_clock=args.pulse_clock)
     return Engine(cfg, store=store, nan_guard=args.nan_guard)
@@ -245,6 +248,11 @@ def main(argv=None):
                         "Pallas kernels, for A/B comparisons)")
         sp.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default=None, help="field storage dtype override")
+        sp.add_argument("--advect-substeps", type=int, default=None,
+                        help="override the 3D substepped-advection count "
+                        "(n_sub=1 is the reference's single backtrace; "
+                        "exact while the CFL displacement stays <= "
+                        "n_sub cells — see tools/cfl_probe.py)")
         sp.add_argument("--steps", type=int, default=steps)
         sp.add_argument("--substeps", type=int, default=10,
                         help="steps per lax.scan dispatch")

@@ -98,6 +98,16 @@ class SimConfig:
     ambient_density: float = 0.0        # buoyancy reference density
     vorticity_confinement: float = 0.0  # ε for vorticity confinement force
     gravity: float = 0.0                # downward force on dense fluid
+    # Exponential sinks (Stam's "dissipation" term, standard in smoke
+    # solvers; absent from the reference, 3D engine only).  Per step:
+    # density *= 1/(1 + dt·density_dissipation) and (after projection,
+    # which a scalar multiple preserves) velocity *= 1/(1 + dt·
+    # velocity_damping).  With a continuous emitter these give the scene
+    # a genuine bounded steady state — without a sink total mass, hence
+    # buoyancy, hence |v| grow without bound and the CFL limiter ends up
+    # dominating transport (see tools/cfl_probe.py).
+    density_dissipation: float = 0.0    # 1/time units
+    velocity_damping: float = 0.0       # 1/time units
 
     # -- custom source (FluidSim.cs:34-55) ------------------------------
     enable_custom_source: bool = False

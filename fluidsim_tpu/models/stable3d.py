@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SimConfig
 from ..ops.advect import advect_multi_3d
@@ -149,10 +150,26 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     else:
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
+    # -- velocity damping (implicit Stam-style sink; a scalar multiple
+    #    preserves the just-projected divergence-free field) ------------
+    if cfg.velocity_damping != 0.0:
+        vel = vel * jnp.asarray(
+            1.0 / (1.0 + np.float32(dt) * np.float32(cfg.velocity_damping)),
+            vel.dtype,
+        )
+
     # -- density transport ----------------------------------------------
     if diff > 0.0:
         density = diffuse_3d(0, density, diff, dt, obst, cfg)
     density = advect_fields((0,), density[None], vel)[0]
+    if cfg.density_dissipation != 0.0:
+        # Stam's implicit dissipation: s/(1 + dt·κ) ("Stable Fluids",
+        # density equation sink term).  Fuses into the surrounding XLA
+        # program — measured free next to the Pallas advect.
+        density = density * jnp.asarray(
+            1.0 / (1.0 + np.float32(dt) * np.float32(cfg.density_dissipation)),
+            density.dtype,
+        )
 
     # -- turbulence forcing (FluidSim.cs:561-564 analog) ----------------
     if cfg.apply_turbulent_noise:

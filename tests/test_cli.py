@@ -122,3 +122,19 @@ def test_build_engine_pulse_clock():
     )
     eng = _build_engine(args)
     assert eng.cfg.pulse_clock == "wall"
+
+
+def test_build_engine_advect_substeps_override():
+    """--advect-substeps forces the substepped scheme with that count
+    (n_sub=1 = the reference's single semi-Lagrangian backtrace)."""
+    import argparse
+
+    from fluidsim_tpu.cli import _build_engine
+
+    args = argparse.Namespace(
+        preset="bench128", config=None, size=32, backend=None,
+        dtype=None, nan_guard=False, advect_substeps=1,
+    )
+    eng = _build_engine(args)
+    assert eng.cfg.advection_scheme == "substep"
+    assert eng.cfg.advect_substeps == 1

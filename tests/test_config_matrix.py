@@ -57,12 +57,14 @@ def _random_cfg(rng: random.Random) -> SimConfig:
         dtype=rng.choice(("float32", "bfloat16")),
     )
     if scheme == "substep":
-        kwargs["advect_substeps"] = rng.choice((2, 3))
+        kwargs["advect_substeps"] = rng.choice((1, 2, 3))
     if ndim == 3:
         kwargs.update(
             buoyancy=rng.choice((0.0, 1.0)),
             vorticity_confinement=rng.choice((0.0, 0.2)),
             gravity=rng.choice((0.0, 0.5)),
+            density_dissipation=rng.choice((0.0, 3.0)),
+            velocity_damping=rng.choice((0.0, 2.0)),
         )
     return SimConfig(**kwargs)
 

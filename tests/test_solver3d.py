@@ -315,3 +315,55 @@ def test_step_self_advection_object_identity(monkeypatch):
     den_calls = [ident for bs, ident in seen if bs == (0,)]
     assert vel_calls and all(vel_calls)       # self-advect: fields IS vel
     assert den_calls and not any(den_calls)   # density: distinct operand
+
+
+def test_density_dissipation_exact_decay():
+    """Stam's implicit sink: with zero velocity (advection = identity in
+    the interior) interior density scales by exactly 1/(1+dt·κ) per step."""
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+    from fluidsim_tpu.state import FluidState, zeros_state
+
+    M = 32
+    base = dict(ndim=3, size=M, auto_adjust_parameters=False,
+                time_step=0.05, diffusion=0.0, viscosity=0.0,
+                double_diffuse=False, enable_custom_source=False,
+                enable_obstacle=False, buoyancy=0.0,
+                source_position=(0.5, 0.5, 0.5),
+                obstacle_position=(0.5, 0.5, 0.5),
+                advect_window=1, jacobi_iters=4)
+    cfg = SimConfig(**base, density_dissipation=4.0).validate()
+    state = zeros_state(cfg)
+    d0 = jnp.abs(rand(3, (M, M, M), 1.0)) + 1.0
+    state = state.replace(density=d0)
+    state = simulate_step_3d(state, cfg)
+    f = np.float32(1.0) / (np.float32(1.0) + np.float32(0.05) * np.float32(4.0))
+    inner = (slice(2, -2),) * 3
+    np.testing.assert_allclose(
+        np.asarray(state.density[inner]), np.asarray(d0[inner]) * f,
+        rtol=1e-6)
+
+
+def test_velocity_damping_scales_velocity_exactly():
+    """velocity_damping multiplies the post-projection field by exactly
+    1/(1+dt·κ) (and therefore preserves its divergence-free-ness)."""
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+    from fluidsim_tpu.state import zeros_state
+
+    M = 32
+    base = dict(ndim=3, size=M, auto_adjust_parameters=False,
+                time_step=0.05, diffusion=0.0, viscosity=0.0,
+                double_diffuse=False, enable_custom_source=False,
+                enable_obstacle=False, buoyancy=0.0,
+                source_position=(0.5, 0.5, 0.5),
+                obstacle_position=(0.5, 0.5, 0.5),
+                advect_window=1, jacobi_iters=8)
+    cfg_u = SimConfig(**base).validate()
+    cfg_d = SimConfig(**base, velocity_damping=2.0).validate()
+    vel = rand(4, (3, M, M, M), 0.05)
+    d0 = jnp.abs(rand(5, (M, M, M), 1.0))
+    s0 = zeros_state(cfg_u).replace(density=d0, velocity=vel)
+    su = simulate_step_3d(s0, cfg_u)
+    sd = simulate_step_3d(s0, cfg_d)
+    f = np.float32(1.0) / (np.float32(1.0) + np.float32(0.05) * np.float32(2.0))
+    np.testing.assert_array_equal(
+        np.asarray(sd.velocity), np.asarray(su.velocity) * f)

@@ -40,4 +40,11 @@ done
 echo "=== 4. scene_a 2D regression ==="
 timeout 3000 python -m fluidsim_tpu.cli bench --preset scene_a --steps 1000 --substeps 250
 
+echo "=== 5. single-backtrace advection contender (tools/cfl_probe.py) ==="
+# n_sub=1 = the reference's own single semi-Lagrangian backtrace; exact
+# (no CFL clamping) iff bench128's max displacement stays <= 1 cell —
+# verify with the cfl_probe output before promoting it to the preset.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --advect-substeps 1 --steps 1000 --substeps 250
+
 echo "ALL DONE"
