@@ -40,6 +40,8 @@ def _build_engine(args, store=None):
         cfg = cfg.replace(kernel_backend=args.backend)
     if getattr(args, "dtype", None):
         cfg = cfg.replace(dtype=args.dtype)
+    if getattr(args, "solve_dtype", None):
+        cfg = cfg.replace(solve_dtype=args.solve_dtype)
     if getattr(args, "advect_substeps", None):
         cfg = cfg.replace(advection_scheme="substep",
                           advect_substeps=args.advect_substeps)
@@ -248,6 +250,11 @@ def main(argv=None):
                         "Pallas kernels, for A/B comparisons)")
         sp.add_argument("--dtype", choices=("float32", "bfloat16"),
                         default=None, help="field storage dtype override")
+        sp.add_argument("--solve-dtype", choices=("float32", "bfloat16"),
+                        default=None,
+                        help="in-VMEM dtype of the resident pressure "
+                        "solve's iterate/rhs (bfloat16 halves the "
+                        "sweep's VMEM traffic; f32 arithmetic)")
         sp.add_argument("--advect-substeps", type=int, default=None,
                         help="override the 3D substepped-advection count "
                         "(n_sub=1 is the reference's single backtrace; "

@@ -176,6 +176,15 @@ class SimConfig:
 
     # -- numerics (new; the reference is float32-only) ------------------
     dtype: str = "float32"
+    # In-VMEM dtype of the resident pressure solve's iterate/rhs volumes
+    # ("float32" or "bfloat16").  The 60-sweep loop is bound by VMEM
+    # operand bandwidth, so "bfloat16" halves its cost while all sweep
+    # arithmetic stays f32 (operands upcast after each read).  Accuracy:
+    # the ~1e-3-relative iterate rounding is the same order as the
+    # truncation the fixed 60-iteration Jacobi leaves anyway (measured —
+    # see pallas/resident.py and docs/KERNELS.md).  Applies only where
+    # the resident kernel dispatches; other paths stay f32.
+    solve_dtype: str = "float32"
     # 3D advection scheme: "semi_lagrangian" (the reference's first-order
     # scheme) or "maccormack" (second-order BFECC-style with a
     # monotonicity limiter — less numerical diffusion, no reference
@@ -256,6 +265,11 @@ class SimConfig:
         if self.pulse_clock not in ("sim", "wall"):
             raise ValueError(
                 f"pulse_clock must be 'sim' or 'wall', got {self.pulse_clock!r}"
+            )
+        if self.solve_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"solve_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.solve_dtype!r}"
             )
         return self
 

@@ -146,7 +146,11 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         # the resident kernel, falls back to XLA otherwise.
         from ..pallas.project import project_3d_pallas
 
-        vel, pressure = project_3d_pallas(vel, cfg.jacobi_iters, obst=obst)
+        vel, pressure = project_3d_pallas(
+            vel, cfg.jacobi_iters, obst=obst,
+            solve_dtype=(None if cfg.solve_dtype == "float32"
+                         else cfg.solve_dtype),
+        )
     else:
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 

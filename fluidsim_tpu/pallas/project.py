@@ -158,13 +158,18 @@ def _pick_slab(n: int, windows: int):
 
 
 def project_3d_pallas(vel, iters: int, block_iters: int = 10,
-                      interpret: bool = False, obst=None):
+                      interpret: bool = False, obst=None,
+                      solve_dtype=None):
     """Projection with Pallas div/Jacobi/grad. Returns (vel, p).  Falls
     back to ``ops.project.project_3d`` when the kernels don't apply.
 
     ``obst`` (bool mask) is supported on the resident path: copy-through,
     gradient masking, and the ``set_bnd`` obstacle mirror all run
     in-kernel (the XLA oracle's faces-then-mirror order).
+
+    ``solve_dtype``: narrow in-VMEM dtype for the resident solve's
+    iterate/rhs volumes (see ``project_3d_resident``); ignored on the
+    slab/XLA fallbacks, which stay f32.
     """
     from ..ops.project import project_3d
 
@@ -182,7 +187,8 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
         # The set_bnd obstacle mirror is fused into the kernel (after the
         # in-kernel face writes, the oracle's faces-then-mirror order).
         return project_3d_resident(vel, iters, obst=obst,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   solve_dtype=solve_dtype)
 
     if obst is not None:  # slab kernels are obstacle-free
         return project_3d(vel, obst, iters, use_pallas=not interpret)

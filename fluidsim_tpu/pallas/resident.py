@@ -101,6 +101,21 @@ def _nbr_sum(v):
     ) + (_roll(v, -1, 0) + _roll(v, 1, 0))
 
 
+def _rollf(v, shift, axis):
+    """Roll in the stored dtype (narrow VMEM read), accumulate in f32."""
+    return _roll(v, shift, axis).astype(jnp.float32)
+
+
+def _nbr_sum_f32(v):
+    """6-neighbor sum of a narrow-dtype iterate: each rolled operand is
+    read at its stored width and upcast before the f32 adds (same add
+    order as ``_nbr_sum``)."""
+    return (
+        (_rollf(v, -1, 2) + _rollf(v, 1, 2))
+        + (_rollf(v, -1, 1) + _rollf(v, 1, 1))
+    ) + (_rollf(v, -1, 0) + _rollf(v, 1, 0))
+
+
 def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
                 iters: int, coef_ref=None, frozen_ref=None):
     """Run ``iters`` face-maintained Jacobi sweeps ping-ponging pb0↔pb1.
@@ -136,18 +151,22 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
     sz, sy, sx = _signs(b)
     az = jnp.asarray(a, jnp.float32)
     ic = jnp.asarray(inv_c, jnp.float32)
+    f32_solve = pb0.dtype == jnp.float32
 
     def sweep(src, dst):
         prev = src[:]
-        nbr = _nbr_sum(prev)
-        rhs = x0_ref[:] + (nbr if a == 1.0 else az * nbr)
+        # Narrow (bfloat16) solve buffers: every operand is read at its
+        # stored width — halving the sweep's VMEM operand traffic, which
+        # is what bounds it — and the arithmetic runs in f32.
+        nbr = _nbr_sum(prev) if f32_solve else _nbr_sum_f32(prev)
+        rhs = x0_ref[:].astype(jnp.float32) + (nbr if a == 1.0 else az * nbr)
         # Border obstacle cells are irrelevant either way: faces are
         # rewritten below, matching the XLA oracle's interior-only
         # copy-through.
         upd = rhs * (ic if coef_ref is None else coef_ref[:])
         if frozen_ref is not None:
             upd = upd + frozen_ref[:]
-        dst[:] = upd
+        dst[:] = upd.astype(dst.dtype)
         _write_faces(dst, n, sz, sy, sx)
 
     def two(_, carry):
@@ -307,9 +326,9 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
             + (_roll(vz, -1, 0) - _roll(vz, 1, 0))
         )
         / nf
-    )
+    ).astype(divb.dtype)
 
-    pb0[:] = jnp.zeros((n, n, n), f32)
+    pb0[:] = jnp.zeros((n, n, n), pb0.dtype)
     inv6 = float(np.float32(1.0) / np.float32(6.0))
     if omask is not None:
         # p starts at zeros, so obstacle copy-through ≡ holding zero —
@@ -335,14 +354,14 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         # and, unlike an iota-mask formulation, no register-allocator
         # spill volumes (a 3×int32-iota + i1 variant spilled 65 MB and
         # OOM'd VMEM at 128³).
-        mfb = pb1 if final is pb0 else pb0   # f32 obstacle mask
-        mfb[:] = omask[:].astype(f32)        # 1.0 at obstacle cells
+        mfb = pb1 if final is pb0 else pb0   # obstacle mask (solve dtype:
+        mfb[:] = omask[:].astype(mfb.dtype)  # 0/1 are exact in bfloat16)
         # Write mask = mask ∧ interior: zero the six wall faces via
         # O(n²) slice writes (a cell is non-interior iff on some face).
-        divb[:] = mfb[:]
-        zf = jnp.zeros((1, n, n), f32)
-        yf = jnp.zeros((n, 1, n), f32)
-        xf = jnp.zeros((n, n, 1), f32)
+        divb[:] = mfb[:].astype(divb.dtype)
+        zf = jnp.zeros((1, n, n), divb.dtype)
+        yf = jnp.zeros((n, 1, n), divb.dtype)
+        xf = jnp.zeros((n, n, 1), divb.dtype)
         divb[0:1] = zf
         divb[n - 1:n] = zf
         divb[:, 0:1] = yf
@@ -351,21 +370,21 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         divb[:, :, n - 1:n] = xf
 
         def mirror(v, axis):
-            fp = 1.0 - _roll(mfb[:], 1, axis)    # fluid at idx−1
-            fn = 1.0 - _roll(mfb[:], -1, axis)   # fluid at idx+1
+            fp = 1.0 - _rollf(mfb[:], 1, axis)    # fluid at idx−1
+            fn = 1.0 - _rollf(mfb[:], -1, axis)   # fluid at idx+1
             # Selects, not fp·(−v) products: an excluded non-finite
             # neighbor must contribute 0, not 0·inf = NaN (the oracle's
             # where(count>0, …, 0) semantics in ops.boundary).
             total = (jnp.where(fp > 0.0, -_roll(v, 1, axis), 0.0)
                      + jnp.where(fn > 0.0, -_roll(v, -1, axis), 0.0))
             mirrored = total / jnp.maximum(fp + fn, 1.0)
-            return jnp.where(divb[:] != 0.0, mirrored, v)
+            return jnp.where(divb[:].astype(f32) != 0.0, mirrored, v)
 
     # Gradient subtraction v −= 0.5·N·∂p with in-place face rewrite, per
     # component; start each component's out-DMA as soon as it's final.
     out_dmas = []
     for comp, axis in ((0, 2), (1, 1), (2, 0)):
-        g = half * (_roll(pv, -1, axis) - _roll(pv, 1, axis)) * nf
+        g = half * (_rollf(pv, -1, axis) - _rollf(pv, 1, axis)) * nf
         vold = vbuf[comp].astype(f32)
         upd = vold - g
         if omask is not None:
@@ -551,7 +570,8 @@ def advect_project_3d_resident(vel, iters: int, dt: float, *,
     )(vel)
 
 
-def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
+def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
+                        solve_dtype=None):
     """Whole-projection-in-VMEM: divergence + ``iters`` Jacobi sweeps +
     gradient subtraction in ONE kernel.  Returns (vel, p).
 
@@ -565,9 +585,20 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
     zeroing, and the ``set_bnd`` obstacle *mirror* on the returned
     velocity components (applied after the face writes — the oracle's
     faces-then-mirror order).
+
+    ``solve_dtype``: dtype of the ping-pong iterate and rhs VMEM volumes
+    (default float32).  ``jnp.bfloat16`` halves the sweep's VMEM operand
+    traffic — the measured bound of the 60-sweep loop — while every
+    sweep still *computes* in f32 (operands upcast after each rolled
+    read).  Accuracy: the iterate/rhs rounding (~1e-3 relative) is the
+    same order as what 60-iteration Jacobi truncation already leaves
+    (measured: divergence removal 74.4% vs 74.5% of the f32 solve on a
+    random field — tools note in docs/KERNELS.md); opt in via
+    ``SimConfig.solve_dtype="bfloat16"``.
     """
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n)
+    sdt = jnp.float32 if solve_dtype is None else jnp.dtype(solve_dtype)
     common = dict(
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -584,9 +615,9 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False):
     )
     scratch = [
         pltpu.VMEM((3, n, n, n), vel.dtype),      # vbuf (storage dtype)
-        pltpu.VMEM((n, n, n), jnp.float32),       # pb0
-        pltpu.VMEM((n, n, n), jnp.float32),       # pb1
-        pltpu.VMEM((n, n, n), jnp.float32),       # divb
+        pltpu.VMEM((n, n, n), sdt),               # pb0
+        pltpu.VMEM((n, n, n), sdt),               # pb1
+        pltpu.VMEM((n, n, n), sdt),               # divb (solve rhs)
         pltpu.VMEM((n, n, n), vel.dtype),         # pstag (out staging)
     ]
     if obst is None:

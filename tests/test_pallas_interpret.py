@@ -381,3 +381,57 @@ def test_advect_pallas_self_advect_aliasing_obstacles():
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=5e-5
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(unaliased))
+
+
+def _div_int(vel):
+    n = vel.shape[-1]
+    d = (jnp.roll(vel[2], -1, 2) - jnp.roll(vel[2], 1, 2)
+         + jnp.roll(vel[1], -1, 1) - jnp.roll(vel[1], 1, 1)
+         + jnp.roll(vel[0], -1, 0) - jnp.roll(vel[0], 1, 0))
+    return d[1:-1, 1:-1, 1:-1]
+
+
+@pytest.mark.parametrize("with_obst", [False, True])
+def test_project_resident_bf16_solve(with_obst):
+    """solve_dtype='bfloat16' (narrow in-VMEM iterate/rhs, f32 sweep
+    arithmetic): removes divergence as effectively as the f32 solve and
+    stays close to it — the iterate rounding is the same order as the
+    fixed-iteration Jacobi truncation."""
+    from fluidsim_tpu.pallas.project import project_3d_pallas
+
+    obst = _box_obst() if with_obst else None
+    vel = jnp.stack([consistent(b, 70 + b, scale=1.0) for b in (1, 2, 3)])
+    f_vel, f_p = project_3d_pallas(vel, iters=20, interpret=True, obst=obst)
+    b_vel, b_p = project_3d_pallas(vel, iters=20, interpret=True, obst=obst,
+                                   solve_dtype="bfloat16")
+    assert b_vel.dtype == vel.dtype and b_p.dtype == vel.dtype
+    assert not bool(jnp.isnan(b_vel).any())
+    # Divergence removal quality within 10% of the f32 solve.
+    r0 = float(jnp.abs(_div_int(vel)).max())
+    rf = float(jnp.abs(_div_int(f_vel)).max())
+    rb = float(jnp.abs(_div_int(b_vel)).max())
+    assert rb <= max(rf * 1.1, 0.02 * r0)
+    # Velocity agrees to bf16-rounding order.
+    scale = float(jnp.abs(f_vel).max())
+    np.testing.assert_allclose(np.asarray(b_vel), np.asarray(f_vel),
+                               atol=2e-2 * scale)
+    if with_obst:
+        # set_bnd obstacle mirror (fused in-kernel, applied per component
+        # along its own axis): an obstacle cell with obstacle neighbors
+        # on both sides of that axis mirrors to exactly zero.
+        o = np.asarray(obst)
+        got = np.asarray(b_vel)
+        for comp, ax in ((0, 2), (1, 1), (2, 0)):
+            interior = o & np.roll(o, 1, ax) & np.roll(o, -1, ax)
+            interior[0], interior[-1] = False, False
+            interior[:, 0], interior[:, -1] = False, False
+            interior[:, :, 0], interior[:, :, -1] = False, False
+            assert np.all(got[comp][interior] == 0.0)
+    # Faces stay set_bnd-consistent (the in-kernel slice writes ran in
+    # the narrow dtype too): re-applying the face rule is a no-op.
+    from fluidsim_tpu.ops.boundary import set_bnd_3d as _sb
+
+    for c in range(3):
+        redone = _sb(c + 1, b_vel[c], obst)
+        np.testing.assert_array_equal(np.asarray(redone),
+                                      np.asarray(b_vel[c]))

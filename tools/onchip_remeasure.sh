@@ -47,4 +47,14 @@ echo "=== 5. single-backtrace advection contender (tools/cfl_probe.py) ==="
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --advect-substeps 1 --steps 1000 --substeps 250
 
+echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
+# The 60-sweep loop is VMEM-operand-bandwidth bound (17.2 us/sweep =
+# one f32 volume read+write at the measured ~900 GB/s); bfloat16
+# iterate/rhs storage should roughly halve it.  Risk: Mosaic lane
+# rotates on bf16 — if the compile fails, record that here.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --solve-dtype bfloat16 --steps 1000 --substeps 250
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --solve-dtype bfloat16 --advect-substeps 1 --steps 1000 --substeps 250
+
 echo "ALL DONE"
