@@ -32,8 +32,43 @@ TRIALS = 3
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Run a trivial device computation in a THROWAWAY subprocess.
+
+    The axon tunnel's observed failure mode is a SIGTERM-immune native
+    hang at first backend init (it survives ``timeout`` without ``-k``),
+    so a dead tunnel would stall this process forever at the first jax
+    call.  Probing in a subprocess — which ``subprocess.run`` SIGKILLs on
+    timeout — lets the bench fail fast with an explicit error line
+    instead of hanging the caller.
+    """
+    import subprocess
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.ones((4,4)).sum()))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import os
+
+    if not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "error": "device backend unreachable (subprocess probe "
+                    "timed out/failed); benchmark skipped"
+                }
+            )
+        )
+        sys.exit(1)
 
     # Persistent compilation cache: the Pallas kernels take minutes to
     # compile cold; repeated bench runs (and the driver's) hit the cache.
