@@ -32,7 +32,8 @@ TRIALS = 3
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
 
-def _probe_backend(timeout_s: float = 180.0) -> bool:
+def _probe_backend(timeout_s: float = 150.0, attempts: int = 4,
+                   retry_wait_s: float = 30.0) -> bool:
     """Run a trivial device computation in a THROWAWAY subprocess.
 
     The axon tunnel's observed failure mode is a SIGTERM-immune native
@@ -40,20 +41,29 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
     so a dead tunnel would stall this process forever at the first jax
     call.  Probing in a subprocess — which ``subprocess.run`` SIGKILLs on
     timeout — lets the bench fail fast with an explicit error line
-    instead of hanging the caller.
+    instead of hanging the caller.  The tunnel also *flaps* (observed to
+    come back after minutes-long outages), so the probe retries over a
+    bounded ~10-minute window before declaring the backend dead.
     """
     import subprocess
 
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((4,4)).sum()))"
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            print(f"# backend probe {attempt + 1}/{attempts} failed; "
+                  f"retrying in {retry_wait_s:.0f}s", file=sys.stderr)
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main() -> None:

@@ -47,6 +47,10 @@ def _build_engine(args, store=None):
                           advect_substeps=args.advect_substeps)
     if getattr(args, "pulse_clock", None):
         cfg = cfg.replace(pulse_clock=args.pulse_clock)
+    if getattr(args, "fuse_project_advect", False):
+        cfg = cfg.replace(fuse_project_advect=True)
+    if getattr(args, "fuse_self_advect", False):
+        cfg = cfg.replace(fuse_project_advect=True, fuse_self_advect=True)
     return Engine(cfg, store=store, nan_guard=args.nan_guard)
 
 
@@ -260,6 +264,14 @@ def main(argv=None):
                         "(n_sub=1 is the reference's single backtrace; "
                         "exact while the CFL displacement stays <= "
                         "n_sub cells — see tools/cfl_probe.py)")
+        sp.add_argument("--fuse-project-advect", action="store_true",
+                        help="fuse the density advection into the resident "
+                        "projection kernel (bitwise-equal; obstacle-free "
+                        "substep-scheme configs only)")
+        sp.add_argument("--fuse-self-advect", action="store_true",
+                        help="additionally fuse the velocity self-advection "
+                        "— the whole hot step in ONE kernel (implies "
+                        "--fuse-project-advect; bitwise-equal)")
         sp.add_argument("--steps", type=int, default=steps)
         sp.add_argument("--substeps", type=int, default=10,
                         help="steps per lax.scan dispatch")

@@ -204,6 +204,24 @@ class SimConfig:
     # path (the correctness oracle); "pallas" asserts the kernels are
     # usable.
     kernel_backend: str = "auto"
+    # Fuse the density advection into the resident projection kernel
+    # (pallas/resident.project_advect_density_3d_resident): the density
+    # backtraces through the projected velocity while it is still in
+    # VMEM, saving the advect's full HBM velocity read and one dispatch.
+    # Bitwise-equal to the unfused composition; applies only on the
+    # obstacle-free resident-Pallas path with advection_scheme="substep"
+    # and velocity_damping == 0 (other configs silently keep the unfused
+    # kernels).  Off by default until measured on-chip.
+    fuse_project_advect: bool = False
+    # With fuse_project_advect, additionally pull the velocity
+    # SELF-advection into the same kernel — the whole hot step (advect →
+    # project → density advect) becomes ONE grid-less sequential-phase
+    # program (pallas/resident.full_step_3d_resident): the advected
+    # velocity lands directly in the projection's resident VMEM volume,
+    # never round-tripping HBM (~50 MB/step saved at 128³ f32).
+    # Bitwise-equal to the unfused composition; same gates as
+    # fuse_project_advect.  Off by default until measured on-chip.
+    fuse_self_advect: bool = False
 
     # ------------------------------------------------------------------
 

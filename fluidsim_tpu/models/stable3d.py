@@ -128,7 +128,47 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                                      n_sub=cfg.advect_substeps)
         return base(bs, fields, velocity, dt)
 
-    vel = advect_fields((1, 2, 3), vel, vel)
+    # Fused-kernel gating (cfg.fuse_project_advect / cfg.fuse_self_advect):
+    # the density backtraces through the projected velocity while it is
+    # still VMEM-resident — bitwise the unfused composition.  Gated to
+    # the configs whose step dataflow the fusion preserves exactly:
+    # obstacle-free resident-Pallas projection, substep advection, and no
+    # velocity damping (damping scales vel *between* projection and
+    # density advect).  Density diffusion commutes with the projection
+    # (disjoint state), so it runs just before the fused call.
+    solve_dtype = (None if cfg.solve_dtype == "float32" else cfg.solve_dtype)
+    fused_density = None
+    dens_in = None
+    fused3 = None
+    fuse_ok = (
+        cfg.fuse_project_advect
+        and use_pallas
+        and jacobi_fn is None
+        and advect_fn is None
+        and obst is None
+        and cfg.pressure_solver != "fft"
+        and cfg.advection_scheme == "substep"
+        and cfg.velocity_damping == 0.0
+    )
+    if fuse_ok:
+        dens_in = (diffuse_3d(0, density, diff, dt, obst, cfg)
+                   if diff > 0.0 else density)
+        if cfg.fuse_self_advect:
+            # Whole hot step in ONE kernel: self-advect → project →
+            # density advect (pallas/resident.full_step_3d_resident).
+            # Returns None when VMEM-infeasible — the step then falls
+            # back to the standalone self-advection below plus the
+            # two-phase fused (or unfused) projection.
+            from ..pallas.project import full_step_3d_pallas
+
+            fused3 = full_step_3d_pallas(
+                vel, dens_in, cfg.jacobi_iters, dt,
+                window=win, n_sub=cfg.advect_substeps,
+                solve_dtype=solve_dtype,
+            )
+
+    if fused3 is None:
+        vel = advect_fields((1, 2, 3), vel, vel)
 
     # -- pressure projection --------------------------------------------
     if jacobi_fn is not None:
@@ -141,16 +181,28 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
 
         vel, pressure = project_3d_fft(vel)
     elif use_pallas:
-        # fully fused path: div / VMEM-resident (or slab) Jacobi /
-        # gradient (pallas/project.py); handles static obstacle masks on
-        # the resident kernel, falls back to XLA otherwise.
-        from ..pallas.project import project_3d_pallas
-
-        vel, pressure = project_3d_pallas(
-            vel, cfg.jacobi_iters, obst=obst,
-            solve_dtype=(None if cfg.solve_dtype == "float32"
-                         else cfg.solve_dtype),
+        from ..pallas.project import (
+            project_3d_pallas,
+            project_advect_density_3d_pallas,
         )
+
+        if fused3 is not None:
+            vel, pressure, fused_density = fused3
+        elif fuse_ok:
+            fused = project_advect_density_3d_pallas(
+                vel, dens_in, cfg.jacobi_iters, dt,
+                window=win, n_sub=cfg.advect_substeps,
+                solve_dtype=solve_dtype,
+            )
+            if fused is not None:
+                vel, pressure, fused_density = fused
+        if fused_density is None:
+            # unfused path: div / VMEM-resident (or slab) Jacobi /
+            # gradient (pallas/project.py); handles static obstacle masks
+            # on the resident kernel, falls back to XLA otherwise.
+            vel, pressure = project_3d_pallas(
+                vel, cfg.jacobi_iters, obst=obst, solve_dtype=solve_dtype,
+            )
     else:
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
@@ -163,9 +215,12 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         )
 
     # -- density transport ----------------------------------------------
-    if diff > 0.0:
-        density = diffuse_3d(0, density, diff, dt, obst, cfg)
-    density = advect_fields((0,), density[None], vel)[0]
+    if fused_density is not None:
+        density = fused_density  # advected in-kernel with the projection
+    else:
+        if diff > 0.0:
+            density = diffuse_3d(0, density, diff, dt, obst, cfg)
+        density = advect_fields((0,), density[None], vel)[0]
     if cfg.density_dissipation != 0.0:
         # Stam's implicit dissipation: s/(1 + dt·κ) ("Stable Fluids",
         # density equation sink term).  Fuses into the surrounding XLA

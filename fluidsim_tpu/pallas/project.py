@@ -157,6 +157,67 @@ def _pick_slab(n: int, windows: int):
     return None
 
 
+def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
+                                     window: int = 1, n_sub: int = 1,
+                                     solve_dtype=None,
+                                     interpret: bool = False):
+    """Fused resident projection + density advection (obstacle-free).
+
+    Returns ``(vel', p, density')`` when the fused kernel applies, else
+    ``None`` — the caller then runs the unfused projection + advect
+    composition (which this kernel matches bitwise; see
+    ``pallas.resident.project_advect_density_3d_resident``).
+    """
+    from .resident import (
+        project_advect_density_3d_resident,
+        project_advect_fits,
+    )
+
+    n = vel.shape[-1]
+    sdt = jnp.dtype(jnp.float32 if solve_dtype is None else solve_dtype)
+    fb = jnp.dtype(vel.dtype).itemsize
+    if window < 1 or n_sub < 1 or n % 8 or n < 16:
+        return None
+    if project_advect_fits(n, window, n_sub, solve_bytes=sdt.itemsize,
+                           field_bytes=fb) is None:
+        return None
+    if not (interpret or pallas_supported()):
+        return None
+    return project_advect_density_3d_resident(
+        vel, density, iters, dt, window=window, n_sub=n_sub,
+        solve_dtype=solve_dtype, interpret=interpret,
+    )
+
+
+def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
+                        window: int = 1, n_sub: int = 1,
+                        solve_dtype=None, interpret: bool = False):
+    """Fused self-advection + resident projection + density advection —
+    the whole hot step in ONE kernel (obstacle-free).
+
+    Returns ``(vel', p, density')`` when the fused kernel applies, else
+    ``None`` — the caller then runs the unfused (or two-phase fused)
+    composition, which this kernel matches bitwise; see
+    ``pallas.resident.full_step_3d_resident``.
+    """
+    from .resident import full_step_3d_resident, full_step_fits
+
+    n = vel.shape[-1]
+    sdt = jnp.dtype(jnp.float32 if solve_dtype is None else solve_dtype)
+    fb = jnp.dtype(vel.dtype).itemsize
+    if window < 1 or n_sub < 1 or n % 8 or n < 16:
+        return None
+    if full_step_fits(n, window, n_sub, solve_bytes=sdt.itemsize,
+                      field_bytes=fb) is None:
+        return None
+    if not (interpret or pallas_supported()):
+        return None
+    return full_step_3d_resident(
+        vel, density, iters, dt, window=window, n_sub=n_sub,
+        solve_dtype=solve_dtype, interpret=interpret,
+    )
+
+
 def project_3d_pallas(vel, iters: int, block_iters: int = 10,
                       interpret: bool = False, obst=None,
                       solve_dtype=None):

@@ -293,20 +293,32 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
     )(x, x0, obst.astype(jnp.int8))
 
 
-def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
-                    sems, *, n: int, iters: int, obst_hbm=None, omask=None,
-                    coef=None):
-    """``vbuf``/``pstag`` carry the storage dtype (float32 or bfloat16 —
+def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
+                  sems, *, n: int, iters: int, obst_hbm=None, omask=None,
+                  coef=None, vel_resident: bool = False):
+    """Projection dataflow shared by ``_project_kernel`` and the fused
+    projection+density-advect kernel: DMA vel (+mask) in, divergence,
+    ``iters`` sweeps, gradient subtraction with faces (+obstacle mirror),
+    and START the p/velocity out-DMAs.  Returns ``(p_dma, out_dmas)``
+    un-waited so a fused caller can overlap them with further compute.
+
+    ``vel_resident=True`` skips the velocity in-DMA — the caller already
+    produced the input velocity in ``vbuf`` (the full-step fused kernel's
+    self-advection phase writes its result there directly).
+
+    ``vbuf``/``pstag`` carry the storage dtype (float32 or bfloat16 —
     halving HBM traffic for bf16 fields); the solve buffers (pb0/pb1/divb)
     are always float32: the fixed-point iteration accumulates on-chip in
     full precision and only the HBM crossings are narrow."""
-    in_dma = pltpu.make_async_copy(vel_hbm, vbuf, sems.at[0])
-    in_dma.start()
+    if not vel_resident:
+        in_dma = pltpu.make_async_copy(vel_hbm, vbuf, sems.at[0])
+        in_dma.start()
     if obst_hbm is not None:
         ob_dma = pltpu.make_async_copy(obst_hbm, omask, sems.at[5])
         ob_dma.start()
         ob_dma.wait()
-    in_dma.wait()
+    if not vel_resident:
+        in_dma.wait()
 
     f32 = jnp.float32
     nf = jnp.asarray(float(n), f32)
@@ -407,6 +419,16 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         dma.start()
         out_dmas.append(dma)
 
+    return p_dma, out_dmas
+
+
+def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
+                    sems, *, n: int, iters: int, obst_hbm=None, omask=None,
+                    coef=None):
+    p_dma, out_dmas = _project_body(
+        vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
+        n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
+    )
     p_dma.wait()
     for dma in out_dmas:
         dma.wait()
@@ -639,3 +661,428 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
         ],
         **common,
     )(vel, obst.astype(jnp.int8))
+
+
+def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
+                           vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems,
+                           dsems, *, n: int, iters: int, k_win: int,
+                           n_sub: int, dt0: float, slab: int):
+    """Resident projection + density advection in ONE single-program kernel.
+
+    The projection ends with the projected velocity resident in ``vbuf`` —
+    exactly the field the subsequent density advection backtraces through —
+    so the advection phase reads its velocity windows as VMEM *slices*
+    instead of re-streaming the 3-component field from HBM (saves one full
+    velocity read per step) and the whole thing costs one dispatch.
+
+    Unlike the rejected ``_advect_project_kernel`` (grid programs with
+    ``pl.when`` phase unions, which Mosaic compiled 4× slower), this is a
+    SINGLE grid-less program with sequential phases — the same structure as
+    the resident projection itself, whose div/sweeps/gradient phases
+    compile well.
+
+    Overlap: density window 0 prefetches during the projection; the
+    velocity/pressure out-DMAs (started by ``_project_body``) drain under
+    the advection compute; density in/out windows double-buffer across
+    z-slabs exactly like the standalone advect kernel's cross-program
+    scheme.
+
+    Numerics: bitwise the composition of ``_project_kernel`` and the
+    standalone advect kernel — the advection core is the shared
+    ``_substep_window_vals`` on the same f32 window values, and the
+    final output contract (fresh-zero walls + ``set_bnd`` faces for
+    ``b=0``) is the same slice-write formulation as the standalone
+    kernel's ``fuse_mask`` path.
+    """
+    prefetch, run = _density_phase(
+        dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems,
+        n=n, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
+    )
+    # Prefetch density window 0 under the projection.
+    prefetch()
+
+    p_dma, out_dmas = _project_body(
+        vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
+        n=n, iters=iters,
+    )
+
+    run()
+    p_dma.wait()
+    for dma in out_dmas:
+        dma.wait()
+
+
+def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
+                   n: int, k_win: int, n_sub: int, dt0: float, slab: int):
+    """The density-advection phase shared by the fused kernels
+    (``_project_advect_kernel``, ``_full_step_kernel``).
+
+    Returns ``(prefetch, run)``: call ``prefetch()`` as early as possible
+    (it starts density window 0's in-DMA, which only touches
+    ``dens_hbm``/``dwin``), and ``run()`` once the projected velocity is
+    resident in ``vbuf`` — it executes the double-buffered z-slab loop
+    (each window's velocity read as VMEM *slices* of ``vbuf``) and drains
+    the density out-DMAs."""
+    from .advect import _substep_window_vals
+
+    halo = k_win * n_sub
+    pw = slab + 2 * halo
+    n_slabs = n // slab
+    f32 = jnp.float32
+
+    def din_dma(slot, i):
+        z0 = i * slab
+        start = jnp.clip(z0 - halo, 0, n - pw)
+        return pltpu.make_async_copy(
+            dens_hbm.at[pl.ds(start, pw)], dwin.at[slot], dsems.at[0, slot]
+        )
+
+    def dout_dma(slot, i):
+        return pltpu.make_async_copy(
+            dowin.at[slot], densout_hbm.at[pl.ds(i * slab, slab)],
+            dsems.at[1, slot],
+        )
+
+    def prefetch():
+        din_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    def slab_body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            din_dma(nslot, i + 1).start()
+
+        din_dma(slot, i).wait()
+
+        @pl.when(i >= 2)
+        def _():
+            # reclaim this slot's out window before overwriting it
+            dout_dma(slot, i - 2).wait()
+
+        z0 = i * slab
+        start = jnp.clip(z0 - halo, 0, n - pw)
+        off = z0 - start
+        vel_vals = tuple(
+            vbuf.at[c][pl.ds(start, pw)].astype(f32) for c in range(3)
+        )
+        dval = (dwin.at[slot][...].astype(f32),)
+        out = _substep_window_vals(
+            dval, vel_vals, start=start, n=n, p=pw, k_win=k_win,
+            n_sub=n_sub, dt0=dt0, bs=(0,),
+        )
+        dowin_slot = dowin.at[slot]
+        dowin_slot[:, :, :] = jax.lax.dynamic_slice(
+            out[0], (off, 0, 0), (slab, n, n)
+        ).astype(dowin.dtype)
+
+        # Output contract for b=0 (fresh-zero walls + set_bnd faces; the
+        # zero step needs no writes — every border cell is rewritten by
+        # the face passes, same argument as the standalone kernel's
+        # fuse_mask).  z faces exist only in the first/last slab; all
+        # signs are +1 for a scalar field.
+        @pl.when(i == 0)
+        def _():
+            dowin_slot[0:1] = dowin_slot[1:2]
+
+        @pl.when(i == n_slabs - 1)
+        def _():
+            dowin_slot[slab - 1:slab] = dowin_slot[slab - 2:slab - 1]
+
+        dowin_slot[:, 0:1, :] = dowin_slot[:, 1:2, :]
+        dowin_slot[:, n - 1:n, :] = dowin_slot[:, n - 2:n - 1, :]
+        dowin_slot[:, :, 0:1] = dowin_slot[:, :, 1:2]
+        dowin_slot[:, :, n - 1:n] = dowin_slot[:, :, n - 2:n - 1]
+
+        dout_dma(slot, i).start()
+        return carry
+
+    def run():
+        jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+        # Drain the last two density out-DMAs.
+        if n_slabs >= 2:
+            dout_dma(jnp.int32(n_slabs % 2), jnp.int32(n_slabs - 2)).wait()
+        dout_dma(jnp.int32((n_slabs - 1) % 2), jnp.int32(n_slabs - 1)).wait()
+
+    return prefetch, run
+
+
+def project_advect_fits(n: int, window: int, n_sub: int,
+                        solve_bytes: int = 4, field_bytes: int = 4):
+    """Largest z-slab for the fused projection+density-advect kernel, or
+    ``None`` when it cannot fit VMEM.  Total-footprint model: declared
+    volumes (3 field + 3 solve + 1 pstag) + 2×(in+out) density windows +
+    ~15 window-equivalents of live f32 advect temporaries (the two-tap
+    form's fractions/partials; the projection phases' temporaries are
+    smaller) against a 100 MB budget."""
+    halo = window * n_sub
+    plane = n * n
+    vol = n * plane
+    for slab in (32, 16, 8):
+        if n % slab or slab + 2 * halo > n:
+            continue
+        pw = slab + 2 * halo
+        declared = (
+            4 * vol * field_bytes          # vbuf(3) + pstag
+            + 3 * vol * solve_bytes        # pb0/pb1/divb
+            + 2 * (pw + slab) * plane * field_bytes   # dwin/dowin ×2 slots
+        )
+        temps = 15 * pw * plane * 4
+        if declared + temps <= 100 * 1024 * 1024:
+            return slab
+    return None
+
+
+def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
+                                       *, window: int = 1, n_sub: int = 1,
+                                       solve_dtype=None,
+                                       interpret: bool = False):
+    """Fused whole-projection-in-VMEM + density advection (obstacle-free).
+
+    Returns ``(vel', p, density')`` — bitwise equal to
+    ``project_3d_resident(vel, iters, solve_dtype=...)`` followed by
+    ``advect_multi_3d_pallas((0,), density[None], vel', dt, None,
+    window=window, n_sub=n_sub)``, in one kernel: the density advection
+    backtraces through the projected velocity while it is still resident
+    in VMEM, saving the advect's full HBM velocity read and a dispatch.
+    """
+    n = vel.shape[-1]
+    assert vel.shape == (3, n, n, n) and density.shape == (n, n, n)
+    sdt = jnp.dtype(jnp.float32 if solve_dtype is None else solve_dtype)
+    fb = jnp.dtype(vel.dtype).itemsize
+    slab = project_advect_fits(n, window, n_sub,
+                               solve_bytes=sdt.itemsize, field_bytes=fb)
+    assert slab is not None, "caller must gate on project_advect_fits"
+    halo = window * n_sub
+    pw = slab + 2 * halo
+    dt0 = float(np.float32(dt) * np.float32(n - 2))
+    kernel = functools.partial(
+        _project_advect_kernel, n=n, iters=iters, k_win=window,
+        n_sub=n_sub, dt0=dt0, slab=slab,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
+            jax.ShapeDtypeStruct((n, n, n), vel.dtype),
+            jax.ShapeDtypeStruct((n, n, n), density.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, n, n, n), vel.dtype),      # vbuf
+            pltpu.VMEM((n, n, n), sdt),               # pb0
+            pltpu.VMEM((n, n, n), sdt),               # pb1
+            pltpu.VMEM((n, n, n), sdt),               # divb
+            pltpu.VMEM((n, n, n), vel.dtype),         # pstag
+            pltpu.VMEM((2, pw, n, n), density.dtype),    # dwin (2 slots)
+            pltpu.VMEM((2, slab, n, n), density.dtype),  # dowin (2 slots)
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(vel, density)
+
+
+def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
+                      vbuf, pb0, pb1, divb, pstag, awin, dwin, dowin,
+                      sems, asems, dsems, *, n: int, iters: int, k_win: int,
+                      n_sub: int, dt0: float, a_slab: int, d_slab: int):
+    """The whole hot step in ONE grid-less kernel: velocity self-advection
+    → resident projection → density advection, as three sequential phases.
+
+    Phase A (self-advection) streams double-buffered velocity z-windows
+    from HBM and writes the advected slabs **directly into ``vbuf``** —
+    the projection's resident input volume — so the advected velocity
+    never round-trips HBM between advection and projection (saves the
+    advect's full-field write AND the projection's read, ~50 MB/step at
+    128³ f32, plus a dispatch).  Phase B is the unchanged
+    ``_project_body`` with ``vel_resident=True``; phase C is the shared
+    ``_density_phase`` (velocity windows as VMEM slices of ``vbuf``).
+
+    This is the grid-less sequential-phase re-design of the REJECTED
+    ``_advect_project_kernel`` (grid programs with ``pl.when`` phase
+    unions, which Mosaic compiled 4× slower) — the same single-program
+    structure that the fused projection+density-advect kernel uses.
+
+    Numerics: bitwise the three-kernel composition — phase A is the
+    shared ``_substep_window_vals`` core with the standalone self-advect
+    kernel's aliasing (fields ARE the velocity windows) and its
+    ``fuse_mask`` output contract, applied here as global face writes on
+    the resident volume (``_write_faces`` per component; identical values
+    — y/x face writes are plane-local so the per-slab vs global ordering
+    cannot differ, and the z faces read the same raw advected interior
+    planes either way).
+    """
+    from .advect import _substep_window_vals
+
+    halo = k_win * n_sub
+    pa = a_slab + 2 * halo
+    n_aslabs = n // a_slab
+    f32 = jnp.float32
+
+    prefetch, run_density = _density_phase(
+        dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems,
+        n=n, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=d_slab,
+    )
+    # Density window 0 only touches dens_hbm/dwin — start it under
+    # phase A so it is long resident by the time phase C runs.
+    prefetch()
+
+    def ain_dma(slot, i):
+        z0 = i * a_slab
+        start = jnp.clip(z0 - halo, 0, n - pa)
+        return pltpu.make_async_copy(
+            vel_hbm.at[:, pl.ds(start, pa)], awin.at[slot], asems.at[slot]
+        )
+
+    ain_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    def a_body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_aslabs)
+        def _():
+            ain_dma(nslot, i + 1).start()
+
+        ain_dma(slot, i).wait()
+
+        z0 = i * a_slab
+        start = jnp.clip(z0 - halo, 0, n - pa)
+        off = z0 - start
+        aw = awin.at[slot]
+        # Self-advection aliasing: the advected fields ARE the advecting
+        # velocity — one window stream, same as the standalone kernel's
+        # self_adv path.
+        vel_vals = tuple(aw[c].astype(f32) for c in range(3))
+        out = _substep_window_vals(
+            vel_vals, vel_vals, start=start, n=n, p=pa, k_win=k_win,
+            n_sub=n_sub, dt0=dt0, bs=(1, 2, 3),
+        )
+        for c in range(3):
+            vbuf[c, pl.ds(z0, a_slab)] = jax.lax.dynamic_slice(
+                out[c], (off, 0, 0), (a_slab, n, n)
+            ).astype(vbuf.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_aslabs, a_body, 0)
+
+    # Advection output contract (the standalone kernel's fuse_mask,
+    # obstacle-free): set_bnd faces z→y→x per component on the resident
+    # volume.  The fresh-zero step needs no writes — every border cell is
+    # rewritten by the face passes (same argument as fuse_mask).
+    for c in range(3):
+        sz, sy, sx = _signs(c + 1)
+        _write_faces(vbuf, n, sz, sy, sx, c=c)
+
+    p_dma, out_dmas = _project_body(
+        vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
+        n=n, iters=iters, vel_resident=True,
+    )
+
+    run_density()
+    p_dma.wait()
+    for dma in out_dmas:
+        dma.wait()
+
+
+def full_step_fits(n: int, window: int, n_sub: int,
+                   solve_bytes: int = 4, field_bytes: int = 4):
+    """(a_slab, d_slab) for the full-step fused kernel, or ``None`` when
+    it cannot fit VMEM.  Total-footprint model: declared volumes
+    (3 field + 3 solve + 1 pstag) + 2×3 advect in-windows + 2×(in+out)
+    density windows + the larger phase's live f32 temporaries (~28
+    window-equivalents for the 3-field self-advect phase, ~15 for the
+    density phase — the phases are sequential, so their temporaries are
+    not simultaneously live) against a 100 MB budget.  Candidates are
+    ordered largest-slab-first (less halo redundancy)."""
+    halo = window * n_sub
+    plane = n * n
+    vol = n * plane
+    base = 4 * vol * field_bytes + 3 * vol * solve_bytes
+    for a_slab in (32, 16, 8):
+        if n % a_slab or a_slab + 2 * halo > n:
+            continue
+        pa = a_slab + 2 * halo
+        awin = 2 * 3 * pa * plane * field_bytes
+        a_temps = 28 * pa * plane * 4
+        for d_slab in (32, 16, 8):
+            if n % d_slab or d_slab + 2 * halo > n:
+                continue
+            pw = d_slab + 2 * halo
+            dwin = 2 * (pw + d_slab) * plane * field_bytes
+            d_temps = 15 * pw * plane * 4
+            total = base + awin + dwin + max(a_temps, d_temps)
+            if total <= 100 * 1024 * 1024:
+                return a_slab, d_slab
+    return None
+
+
+def full_step_3d_resident(vel, density, iters: int, dt: float,
+                          *, window: int = 1, n_sub: int = 1,
+                          solve_dtype=None, interpret: bool = False):
+    """Fused self-advection + whole-projection-in-VMEM + density advection
+    (obstacle-free) — one kernel per step for the hot loop.
+
+    Returns ``(vel', p, density')`` — bitwise equal to
+    ``advect_multi_3d_pallas((1,2,3), vel, vel, dt, None, window=window,
+    n_sub=n_sub)`` followed by ``project_3d_resident(·, iters,
+    solve_dtype=...)`` followed by ``advect_multi_3d_pallas((0,),
+    density[None], vel', dt, None, window=window, n_sub=n_sub)``.
+    """
+    n = vel.shape[-1]
+    assert vel.shape == (3, n, n, n) and density.shape == (n, n, n)
+    sdt = jnp.dtype(jnp.float32 if solve_dtype is None else solve_dtype)
+    fb = jnp.dtype(vel.dtype).itemsize
+    picked = full_step_fits(n, window, n_sub,
+                            solve_bytes=sdt.itemsize, field_bytes=fb)
+    assert picked is not None, "caller must gate on full_step_fits"
+    a_slab, d_slab = picked
+    halo = window * n_sub
+    pa = a_slab + 2 * halo
+    pw = d_slab + 2 * halo
+    dt0 = float(np.float32(dt) * np.float32(n - 2))
+    kernel = functools.partial(
+        _full_step_kernel, n=n, iters=iters, k_win=window,
+        n_sub=n_sub, dt0=dt0, a_slab=a_slab, d_slab=d_slab,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n, n, n), vel.dtype),
+            jax.ShapeDtypeStruct((n, n, n), vel.dtype),
+            jax.ShapeDtypeStruct((n, n, n), density.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, n, n, n), vel.dtype),         # vbuf
+            pltpu.VMEM((n, n, n), sdt),                  # pb0
+            pltpu.VMEM((n, n, n), sdt),                  # pb1
+            pltpu.VMEM((n, n, n), sdt),                  # divb
+            pltpu.VMEM((n, n, n), vel.dtype),            # pstag
+            pltpu.VMEM((2, 3, pa, n, n), vel.dtype),     # awin (2 slots)
+            pltpu.VMEM((2, pw, n, n), density.dtype),    # dwin (2 slots)
+            pltpu.VMEM((2, d_slab, n, n), density.dtype),  # dowin (2 slots)
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(vel, density)

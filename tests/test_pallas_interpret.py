@@ -435,3 +435,233 @@ def test_project_resident_bf16_solve(with_obst):
         redone = _sb(c + 1, b_vel[c], obst)
         np.testing.assert_array_equal(np.asarray(redone),
                                       np.asarray(b_vel[c]))
+
+
+def test_fused_project_density_advect_matches_composition():
+    """The PRODUCT fused projection+density-advect kernel
+    (cfg.fuse_project_advect → pallas/resident.py
+    project_advect_density_3d_resident) is bitwise the unfused
+    composition: resident projection, then the standalone advect kernel
+    backtracing the density through the projected velocity."""
+    from fluidsim_tpu.pallas.resident import (
+        project_3d_resident,
+        project_advect_density_3d_resident,
+    )
+
+    dt = 0.03
+    vel = jnp.stack([consistent2(b, 130 + b, scale=0.5) for b in (1, 2, 3)])
+    dens = jnp.abs(consistent2(0, 133, scale=2.0))
+    for n_sub, win in ((1, 1), (2, 1), (2, 2)):
+        ref_v, ref_p = project_3d_resident(vel, 8, interpret=True)
+        ref_d = advect_multi_3d_pallas((0,), dens[None], ref_v, dt, None,
+                                       window=win, n_sub=n_sub,
+                                       interpret=True)[0]
+        got_v, got_p, got_d = project_advect_density_3d_resident(
+            vel, dens, 8, dt, window=win, n_sub=n_sub, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+@pytest.mark.parametrize("solve_dtype", [None, "bfloat16"])
+def test_fused_project_density_advect_bf16(solve_dtype):
+    """bfloat16 field storage (and optionally bf16 solve buffers) through
+    the fused kernel: bitwise the unfused bf16 composition, dtypes
+    preserved, values finite."""
+    from fluidsim_tpu.pallas.resident import (
+        project_3d_resident,
+        project_advect_density_3d_resident,
+    )
+
+    dt = 0.03
+    vel = jnp.stack(
+        [consistent2(b, 140 + b, scale=0.5) for b in (1, 2, 3)]
+    ).astype(jnp.bfloat16)
+    dens = jnp.abs(consistent2(0, 144, scale=2.0)).astype(jnp.bfloat16)
+    ref_v, ref_p = project_3d_resident(vel, 8, interpret=True,
+                                       solve_dtype=solve_dtype)
+    ref_d = advect_multi_3d_pallas((0,), dens[None], ref_v, dt, None,
+                                   window=1, n_sub=2, interpret=True)[0]
+    got_v, got_p, got_d = project_advect_density_3d_resident(
+        vel, dens, 8, dt, window=1, n_sub=2, solve_dtype=solve_dtype,
+        interpret=True,
+    )
+    assert got_v.dtype == jnp.bfloat16 and got_d.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got_v, np.float32), np.asarray(ref_v, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_p, np.float32), np.asarray(ref_p, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_d, np.float32), np.asarray(ref_d, np.float32)
+    )
+    assert np.isfinite(np.asarray(got_d, np.float32)).all()
+
+
+@pytest.mark.parametrize("diffusion", [0.0, 0.0002])
+def test_step_fuse_project_advect_wiring(monkeypatch, diffusion):
+    """simulate_step_3d with cfg.fuse_project_advect=True produces the
+    SAME state as the unfused step on the Pallas path (interpret mode),
+    including the reordered density diffusion (diffuse commutes with the
+    projection: disjoint state)."""
+    import functools
+
+    import fluidsim_tpu as fs
+    import fluidsim_tpu.models.stable3d as s3
+    import fluidsim_tpu.pallas.advect as pa
+    import fluidsim_tpu.pallas.project as pp
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+
+    monkeypatch.setattr(s3, "_pallas_usable", lambda cfg: True)
+    monkeypatch.setattr(
+        pp, "project_3d_pallas",
+        functools.partial(pp.project_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pp, "project_advect_density_3d_pallas",
+        functools.partial(pp.project_advect_density_3d_pallas,
+                          interpret=True),
+    )
+    monkeypatch.setattr(
+        pa, "advect_multi_3d_pallas",
+        functools.partial(pa.advect_multi_3d_pallas, interpret=True),
+    )
+
+    cfg = fs.get_preset("smoke32").replace(
+        advection_scheme="substep", advect_substeps=2, advect_window=1,
+        jacobi_iters=4, diffusion=diffusion, enable_obstacle=False,
+    )
+    state = fs.zeros_state(cfg)
+    d = jnp.abs(consistent2(0, 150, scale=1.0))
+    v = jnp.stack([consistent2(b, 151 + b, scale=0.3) for b in (1, 2, 3)])
+    state = state.replace(density=d, velocity=v)
+
+    out_unfused = simulate_step_3d(state, cfg)
+    out_fused = simulate_step_3d(
+        state, cfg.replace(fuse_project_advect=True)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.density), np.asarray(out_unfused.density)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.velocity), np.asarray(out_unfused.velocity)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.pressure), np.asarray(out_unfused.pressure)
+    )
+
+
+def test_full_step_kernel_matches_composition():
+    """The full-step fused kernel (cfg.fuse_self_advect →
+    pallas/resident.full_step_3d_resident: self-advect → project →
+    density advect in ONE program) is bitwise the three-kernel
+    composition: standalone self-advection, resident projection, then
+    the standalone advect kernel backtracing the density through the
+    projected velocity."""
+    from fluidsim_tpu.pallas.resident import (
+        full_step_3d_resident,
+        project_3d_resident,
+    )
+
+    dt = 0.03
+    vel = jnp.stack([consistent2(b, 160 + b, scale=0.5) for b in (1, 2, 3)])
+    dens = jnp.abs(consistent2(0, 164, scale=2.0))
+    for n_sub, win in ((1, 1), (2, 1), (2, 2)):
+        adv = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, None,
+                                     window=win, n_sub=n_sub,
+                                     interpret=True)
+        ref_v, ref_p = project_3d_resident(adv, 8, interpret=True)
+        ref_d = advect_multi_3d_pallas((0,), dens[None], ref_v, dt, None,
+                                       window=win, n_sub=n_sub,
+                                       interpret=True)[0]
+        got_v, got_p, got_d = full_step_3d_resident(
+            vel, dens, 8, dt, window=win, n_sub=n_sub, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_full_step_kernel_bf16():
+    """bfloat16 field storage through the full-step fused kernel:
+    bitwise the unfused bf16 composition, dtypes preserved, finite."""
+    from fluidsim_tpu.pallas.resident import (
+        full_step_3d_resident,
+        project_3d_resident,
+    )
+
+    dt = 0.03
+    vel = jnp.stack(
+        [consistent2(b, 170 + b, scale=0.5) for b in (1, 2, 3)]
+    ).astype(jnp.bfloat16)
+    dens = jnp.abs(consistent2(0, 174, scale=2.0)).astype(jnp.bfloat16)
+    adv = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, None,
+                                 window=1, n_sub=2, interpret=True)
+    ref_v, ref_p = project_3d_resident(adv, 8, interpret=True)
+    ref_d = advect_multi_3d_pallas((0,), dens[None], ref_v, dt, None,
+                                   window=1, n_sub=2, interpret=True)[0]
+    got_v, got_p, got_d = full_step_3d_resident(
+        vel, dens, 8, dt, window=1, n_sub=2, interpret=True
+    )
+    assert got_v.dtype == jnp.bfloat16 and got_d.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got_v, np.float32), np.asarray(ref_v, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_p, np.float32), np.asarray(ref_p, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_d, np.float32), np.asarray(ref_d, np.float32)
+    )
+    assert np.isfinite(np.asarray(got_d, np.float32)).all()
+
+
+def test_step_fuse_self_advect_wiring(monkeypatch):
+    """simulate_step_3d with cfg.fuse_self_advect=True produces the SAME
+    state as the unfused step on the Pallas path (interpret mode)."""
+    import functools
+
+    import fluidsim_tpu as fs
+    import fluidsim_tpu.models.stable3d as s3
+    import fluidsim_tpu.pallas.advect as pa
+    import fluidsim_tpu.pallas.project as pp
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+
+    monkeypatch.setattr(s3, "_pallas_usable", lambda cfg: True)
+    monkeypatch.setattr(
+        pp, "project_3d_pallas",
+        functools.partial(pp.project_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pp, "full_step_3d_pallas",
+        functools.partial(pp.full_step_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pa, "advect_multi_3d_pallas",
+        functools.partial(pa.advect_multi_3d_pallas, interpret=True),
+    )
+
+    cfg = fs.get_preset("smoke32").replace(
+        advection_scheme="substep", advect_substeps=2, advect_window=1,
+        jacobi_iters=4, diffusion=0.0002, enable_obstacle=False,
+    )
+    state = fs.zeros_state(cfg)
+    d = jnp.abs(consistent2(0, 180, scale=1.0))
+    v = jnp.stack([consistent2(b, 181 + b, scale=0.3) for b in (1, 2, 3)])
+    state = state.replace(density=d, velocity=v)
+
+    out_unfused = simulate_step_3d(state, cfg)
+    out_fused = simulate_step_3d(
+        state, cfg.replace(fuse_project_advect=True, fuse_self_advect=True)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.density), np.asarray(out_unfused.density)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.velocity), np.asarray(out_unfused.velocity)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.pressure), np.asarray(out_unfused.pressure)
+    )

@@ -47,6 +47,32 @@ echo "=== 5. single-backtrace advection contender (tools/cfl_probe.py) ==="
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --advect-substeps 1 --steps 1000 --substeps 250
 
+echo "=== 5b. fused projection+density-advect contender ==="
+# cfg.fuse_project_advect: the density backtraces through the projected
+# velocity while it is still VMEM-resident — saves the density advect's
+# full HBM velocity read and a dispatch.  Bitwise-equal to the unfused
+# composition (tests/test_pallas_interpret.py).  Risk: single-program
+# phase fusion could degrade Mosaic scheduling (cf. the rejected
+# grid-phase advect+project union) — if slower, record it and leave the
+# config default off.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-project-advect --steps 1000 --substeps 250
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-project-advect --advect-substeps 1 --steps 1000 --substeps 250
+
+echo "=== 5c. full-step one-kernel contender (self-advect + project + density) ==="
+# cfg.fuse_self_advect: the whole hot step in ONE grid-less kernel —
+# the self-advected velocity lands directly in the projection's
+# resident VMEM volume (saves ~50 MB/step of HBM on top of 5b, plus
+# two dispatches).  Bitwise-equal (tests/test_pallas_interpret.py).
+# Risk: combined register pressure across the three phases (the
+# rejected grid-phase fusion's failure mode) — if slower, record and
+# leave the default off.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-self-advect --steps 1000 --substeps 250
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-self-advect --advect-substeps 1 --steps 1000 --substeps 250
+
 echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
 # The 60-sweep loop is VMEM-operand-bandwidth bound (17.2 us/sweep =
 # one f32 volume read+write at the measured ~900 GB/s); bfloat16
@@ -56,5 +82,13 @@ timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --solve-dtype bfloat16 --steps 1000 --substeps 250
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --solve-dtype bfloat16 --advect-substeps 1 --steps 1000 --substeps 250
+
+echo "=== 7. combined contender (fuse + bf16 solve + single backtrace) ==="
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-project-advect --solve-dtype bfloat16 --advect-substeps 1 \
+    --steps 1000 --substeps 250
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-self-advect --solve-dtype bfloat16 --advect-substeps 1 \
+    --steps 1000 --substeps 250
 
 echo "ALL DONE"
