@@ -132,9 +132,14 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     # the density backtraces through the projected velocity while it is
     # still VMEM-resident — bitwise the unfused composition.  Gated to
     # the configs whose step dataflow the fusion preserves exactly:
-    # obstacle-free resident-Pallas projection, substep advection, and no
-    # velocity damping (damping scales vel *between* projection and
-    # density advect).  Density diffusion commutes with the projection
+    # resident-Pallas projection, substep advection, and no velocity
+    # damping (damping scales vel *between* projection and density
+    # advect).  A static obstacle mask is fine for the two-phase fusion
+    # (the projection folds it in as coefficient planes and the density
+    # phase slices the resident mask; b=0 has no obstacle mirror, so the
+    # contract matches any n_sub); the full-step fusion stays
+    # obstacle-free (the velocity mirror's +1-per-substep halo blows its
+    # VMEM model).  Density diffusion commutes with the projection
     # (disjoint state), so it runs just before the fused call.
     solve_dtype = (None if cfg.solve_dtype == "float32" else cfg.solve_dtype)
     fused_density = None
@@ -145,7 +150,6 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         and use_pallas
         and jacobi_fn is None
         and advect_fn is None
-        and obst is None
         and cfg.pressure_solver != "fft"
         and cfg.advection_scheme == "substep"
         and cfg.velocity_damping == 0.0
@@ -153,7 +157,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     if fuse_ok:
         dens_in = (diffuse_3d(0, density, diff, dt, obst, cfg)
                    if diff > 0.0 else density)
-        if cfg.fuse_self_advect:
+        if cfg.fuse_self_advect and obst is None:
             # Whole hot step in ONE kernel: self-advect → project →
             # density advect (pallas/resident.full_step_3d_resident).
             # Returns None when VMEM-infeasible — the step then falls
@@ -192,7 +196,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
             fused = project_advect_density_3d_pallas(
                 vel, dens_in, cfg.jacobi_iters, dt,
                 window=win, n_sub=cfg.advect_substeps,
-                solve_dtype=solve_dtype,
+                solve_dtype=solve_dtype, obst=obst,
             )
             if fused is not None:
                 vel, pressure, fused_density = fused

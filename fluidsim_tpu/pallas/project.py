@@ -159,9 +159,11 @@ def _pick_slab(n: int, windows: int):
 
 def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
                                      window: int = 1, n_sub: int = 1,
-                                     solve_dtype=None,
+                                     solve_dtype=None, obst=None,
                                      interpret: bool = False):
-    """Fused resident projection + density advection (obstacle-free).
+    """Fused resident projection + density advection (optional static
+    obstacle mask — the projection folds it into the solve coefficient +
+    in-kernel mirror, the density phase slices the resident mask).
 
     Returns ``(vel', p, density')`` when the fused kernel applies, else
     ``None`` — the caller then runs the unfused projection + advect
@@ -179,13 +181,13 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
     if window < 1 or n_sub < 1 or n % 8 or n < 16:
         return None
     if project_advect_fits(n, window, n_sub, solve_bytes=sdt.itemsize,
-                           field_bytes=fb) is None:
+                           field_bytes=fb, has_obst=obst is not None) is None:
         return None
     if not (interpret or pallas_supported()):
         return None
     return project_advect_density_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
-        solve_dtype=solve_dtype, interpret=interpret,
+        solve_dtype=solve_dtype, obst=obst, interpret=interpret,
     )
 
 

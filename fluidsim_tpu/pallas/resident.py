@@ -666,7 +666,8 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
 def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                            vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems,
                            dsems, *, n: int, iters: int, k_win: int,
-                           n_sub: int, dt0: float, slab: int):
+                           n_sub: int, dt0: float, slab: int,
+                           obst_hbm=None, omask=None, coef=None):
     """Resident projection + density advection in ONE single-program kernel.
 
     The projection ends with the projected velocity resident in ``vbuf`` —
@@ -693,17 +694,28 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     final output contract (fresh-zero walls + ``set_bnd`` faces for
     ``b=0``) is the same slice-write formulation as the standalone
     kernel's ``fuse_mask`` path.
+
+    ``obst_hbm``/``omask``/``coef``: optional static obstacle mask.  The
+    projection handles it exactly as ``_project_obst_kernel`` (coefficient
+    volume + in-kernel mirror), and the density phase slices the
+    VMEM-resident ``omask`` per window — applying the b=0 contract
+    (fresh-zero walls AND obstacle cells, then faces; ``set_bnd_3d``
+    applies no obstacle op to scalars) per substep via
+    ``_substep_window_vals``.  No extra HBM traffic beyond the one int8
+    mask read the unfused projection already pays, and the b=0 contract
+    reads no ±1 mirror neighbors, so the halo stays ``n_sub·k_win``.
     """
     prefetch, run = _density_phase(
         dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems,
         n=n, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
+        omask_ref=omask,
     )
     # Prefetch density window 0 under the projection.
     prefetch()
 
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
-        n=n, iters=iters,
+        n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
     )
 
     run()
@@ -712,8 +724,22 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
         dma.wait()
 
 
+def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
+                                p_hbm, densout_hbm, vbuf, pb0, pb1, divb,
+                                pstag, dwin, dowin, omask, coef, sems,
+                                dsems, *, n: int, iters: int, k_win: int,
+                                n_sub: int, dt0: float, slab: int):
+    _project_advect_kernel(
+        vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
+        vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems, dsems,
+        n=n, iters=iters, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
+        obst_hbm=obst_hbm, omask=omask, coef=coef,
+    )
+
+
 def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
-                   n: int, k_win: int, n_sub: int, dt0: float, slab: int):
+                   n: int, k_win: int, n_sub: int, dt0: float, slab: int,
+                   omask_ref=None):
     """The density-advection phase shared by the fused kernels
     (``_project_advect_kernel``, ``_full_step_kernel``).
 
@@ -722,7 +748,15 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
     ``dens_hbm``/``dwin``), and ``run()`` once the projected velocity is
     resident in ``vbuf`` — it executes the double-buffered z-slab loop
     (each window's velocity read as VMEM *slices* of ``vbuf``) and drains
-    the density out-DMAs."""
+    the density out-DMAs.
+
+    ``omask_ref``: optional VMEM-resident int8 obstacle mask (the
+    projection's ``omask`` volume, already DMA'd in by ``_project_body``
+    — ``run()`` must only be called after it).  Each window slices it
+    like the velocity; ``_substep_window_vals`` then applies the full
+    b=0 obstacle contract (fresh-zero walls + obstacle cells, then
+    faces) per substep *in-values*, so the slice-write face pass is
+    skipped."""
     from .advect import _substep_window_vals
 
     halo = k_win * n_sub
@@ -768,32 +802,37 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
             vbuf.at[c][pl.ds(start, pw)].astype(f32) for c in range(3)
         )
         dval = (dwin.at[slot][...].astype(f32),)
+        om = (omask_ref[pl.ds(start, pw)].astype(f32)
+              if omask_ref is not None else None)
         out = _substep_window_vals(
             dval, vel_vals, start=start, n=n, p=pw, k_win=k_win,
-            n_sub=n_sub, dt0=dt0, bs=(0,),
+            n_sub=n_sub, dt0=dt0, bs=(0,), omask=om,
         )
         dowin_slot = dowin.at[slot]
         dowin_slot[:, :, :] = jax.lax.dynamic_slice(
             out[0], (off, 0, 0), (slab, n, n)
         ).astype(dowin.dtype)
 
-        # Output contract for b=0 (fresh-zero walls + set_bnd faces; the
-        # zero step needs no writes — every border cell is rewritten by
-        # the face passes, same argument as the standalone kernel's
-        # fuse_mask).  z faces exist only in the first/last slab; all
-        # signs are +1 for a scalar field.
-        @pl.when(i == 0)
-        def _():
-            dowin_slot[0:1] = dowin_slot[1:2]
+        if omask_ref is None:
+            # Output contract for b=0 (fresh-zero walls + set_bnd faces;
+            # the zero step needs no writes — every border cell is
+            # rewritten by the face passes, same argument as the
+            # standalone kernel's fuse_mask).  z faces exist only in the
+            # first/last slab; all signs are +1 for a scalar field.
+            # (With ``omask_ref`` the full b=0 contract already ran
+            # in-values per substep inside ``_substep_window_vals``.)
+            @pl.when(i == 0)
+            def _():
+                dowin_slot[0:1] = dowin_slot[1:2]
 
-        @pl.when(i == n_slabs - 1)
-        def _():
-            dowin_slot[slab - 1:slab] = dowin_slot[slab - 2:slab - 1]
+            @pl.when(i == n_slabs - 1)
+            def _():
+                dowin_slot[slab - 1:slab] = dowin_slot[slab - 2:slab - 1]
 
-        dowin_slot[:, 0:1, :] = dowin_slot[:, 1:2, :]
-        dowin_slot[:, n - 1:n, :] = dowin_slot[:, n - 2:n - 1, :]
-        dowin_slot[:, :, 0:1] = dowin_slot[:, :, 1:2]
-        dowin_slot[:, :, n - 1:n] = dowin_slot[:, :, n - 2:n - 1]
+            dowin_slot[:, 0:1, :] = dowin_slot[:, 1:2, :]
+            dowin_slot[:, n - 1:n, :] = dowin_slot[:, n - 2:n - 1, :]
+            dowin_slot[:, :, 0:1] = dowin_slot[:, :, 1:2]
+            dowin_slot[:, :, n - 1:n] = dowin_slot[:, :, n - 2:n - 1]
 
         dout_dma(slot, i).start()
         return carry
@@ -809,13 +848,17 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
 
 
 def project_advect_fits(n: int, window: int, n_sub: int,
-                        solve_bytes: int = 4, field_bytes: int = 4):
+                        solve_bytes: int = 4, field_bytes: int = 4,
+                        has_obst: bool = False):
     """Largest z-slab for the fused projection+density-advect kernel, or
     ``None`` when it cannot fit VMEM.  Total-footprint model: declared
     volumes (3 field + 3 solve + 1 pstag) + 2×(in+out) density windows +
     ~15 window-equivalents of live f32 advect temporaries (the two-tap
     form's fractions/partials; the projection phases' temporaries are
-    smaller) against a 100 MB budget."""
+    smaller) against a 100 MB budget.  ``has_obst`` adds the declared
+    int8 mask + f32 coef volumes and ~2 window-equivalents for the
+    per-window f32 mask slice and its derived bools (the b=0 contract
+    has no mirror, so the halo does NOT grow)."""
     halo = window * n_sub
     plane = n * n
     vol = n * plane
@@ -829,6 +872,9 @@ def project_advect_fits(n: int, window: int, n_sub: int,
             + 2 * (pw + slab) * plane * field_bytes   # dwin/dowin ×2 slots
         )
         temps = 15 * pw * plane * 4
+        if has_obst:
+            declared += vol * (1 + 4)      # omask (int8) + coef (f32)
+            temps += 2 * pw * plane * 4
         if declared + temps <= 100 * 1024 * 1024:
             return slab
     return None
@@ -836,34 +882,34 @@ def project_advect_fits(n: int, window: int, n_sub: int,
 
 def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
                                        *, window: int = 1, n_sub: int = 1,
-                                       solve_dtype=None,
+                                       solve_dtype=None, obst=None,
                                        interpret: bool = False):
-    """Fused whole-projection-in-VMEM + density advection (obstacle-free).
+    """Fused whole-projection-in-VMEM + density advection.
 
     Returns ``(vel', p, density')`` — bitwise equal to
-    ``project_3d_resident(vel, iters, solve_dtype=...)`` followed by
-    ``advect_multi_3d_pallas((0,), density[None], vel', dt, None,
-    window=window, n_sub=n_sub)``, in one kernel: the density advection
-    backtraces through the projected velocity while it is still resident
-    in VMEM, saving the advect's full HBM velocity read and a dispatch.
+    ``project_3d_resident(vel, iters, obst=obst, solve_dtype=...)``
+    followed by ``advect_multi_3d_pallas((0,), density[None], vel', dt,
+    obst, window=window, n_sub=n_sub)``, in one kernel: the density
+    advection backtraces through the projected velocity while it is still
+    resident in VMEM, saving the advect's full HBM velocity read and a
+    dispatch.  With ``obst`` the projection folds the mask into the solve
+    coefficient + in-kernel mirror (as ``project_3d_resident``) and the
+    density phase slices the already-resident mask per window — so the
+    obstacle configs (e.g. vortex128) pay no extra HBM for the fusion
+    either.
     """
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n) and density.shape == (n, n, n)
     sdt = jnp.dtype(jnp.float32 if solve_dtype is None else solve_dtype)
     fb = jnp.dtype(vel.dtype).itemsize
     slab = project_advect_fits(n, window, n_sub,
-                               solve_bytes=sdt.itemsize, field_bytes=fb)
+                               solve_bytes=sdt.itemsize, field_bytes=fb,
+                               has_obst=obst is not None)
     assert slab is not None, "caller must gate on project_advect_fits"
     halo = window * n_sub
     pw = slab + 2 * halo
     dt0 = float(np.float32(dt) * np.float32(n - 2))
-    kernel = functools.partial(
-        _project_advect_kernel, n=n, iters=iters, k_win=window,
-        n_sub=n_sub, dt0=dt0, slab=slab,
-    )
-    return pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+    common = dict(
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -874,22 +920,49 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
             jax.ShapeDtypeStruct((n, n, n), vel.dtype),
             jax.ShapeDtypeStruct((n, n, n), density.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((3, n, n, n), vel.dtype),      # vbuf
-            pltpu.VMEM((n, n, n), sdt),               # pb0
-            pltpu.VMEM((n, n, n), sdt),               # pb1
-            pltpu.VMEM((n, n, n), sdt),               # divb
-            pltpu.VMEM((n, n, n), vel.dtype),         # pstag
-            pltpu.VMEM((2, pw, n, n), density.dtype),    # dwin (2 slots)
-            pltpu.VMEM((2, slab, n, n), density.dtype),  # dowin (2 slots)
-            pltpu.SemaphoreType.DMA((5,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(vel, density)
+    )
+    scratch = [
+        pltpu.VMEM((3, n, n, n), vel.dtype),      # vbuf
+        pltpu.VMEM((n, n, n), sdt),               # pb0
+        pltpu.VMEM((n, n, n), sdt),               # pb1
+        pltpu.VMEM((n, n, n), sdt),               # divb
+        pltpu.VMEM((n, n, n), vel.dtype),         # pstag
+        pltpu.VMEM((2, pw, n, n), density.dtype),    # dwin (2 slots)
+        pltpu.VMEM((2, slab, n, n), density.dtype),  # dowin (2 slots)
+    ]
+    if obst is None:
+        kernel = functools.partial(
+            _project_advect_kernel, n=n, iters=iters, k_win=window,
+            n_sub=n_sub, dt0=dt0, slab=slab,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            scratch_shapes=scratch + [
+                pltpu.SemaphoreType.DMA((5,)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            **common,
+        )(vel, density)
+    kernel = functools.partial(
+        _project_advect_obst_kernel, n=n, iters=iters, k_win=window,
+        n_sub=n_sub, dt0=dt0, slab=slab,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        scratch_shapes=scratch + [
+            pltpu.VMEM((n, n, n), jnp.int8),      # omask
+            pltpu.VMEM((n, n, n), jnp.float32),   # coef (masked 1/6)
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        **common,
+    )(vel, density, obst.astype(jnp.int8))
 
 
 def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,

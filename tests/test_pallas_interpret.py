@@ -665,3 +665,89 @@ def test_step_fuse_self_advect_wiring(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(out_fused.pressure), np.asarray(out_unfused.pressure)
     )
+
+
+@pytest.mark.parametrize("n_sub", [1, 2])
+def test_fused_project_density_advect_obstacles(n_sub):
+    """Obstacle variant of the fused projection+density-advect kernel
+    (cfg.fuse_project_advect with a static mask — the vortex128 shape):
+    bitwise the unfused composition (obstacle-aware resident projection,
+    then the standalone advect kernel with the mask).  Covers both the
+    in-kernel per-substep contract (n_sub > 1) and the single-substep
+    kernel+host-mask path (n_sub = 1) — for b=0 both reduce to
+    fresh-zero walls/solids + faces, which the fused density phase
+    applies per substep in-values."""
+    from fluidsim_tpu.pallas.resident import (
+        project_3d_resident,
+        project_advect_density_3d_resident,
+    )
+
+    dt = 0.03
+    vel = jnp.stack([consistent2(b, 190 + b, scale=0.5) for b in (1, 2, 3)])
+    dens = jnp.abs(consistent2(0, 194, scale=2.0))
+    obst = np.zeros((N2, N2, N2), bool)
+    obst[10:16, 9:15, 12:20] = True
+    obst = jnp.asarray(obst)
+    ref_v, ref_p = project_3d_resident(vel, 8, obst=obst, interpret=True)
+    ref_d = advect_multi_3d_pallas((0,), dens[None], ref_v, dt, obst,
+                                   window=1, n_sub=n_sub,
+                                   interpret=True)[0]
+    got_v, got_p, got_d = project_advect_density_3d_resident(
+        vel, dens, 8, dt, window=1, n_sub=n_sub, obst=obst, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_step_fuse_project_advect_obstacle_wiring(monkeypatch):
+    """simulate_step_3d with cfg.fuse_project_advect=True on an OBSTACLE
+    config (vortex128's shape: buoyancy + vorticity confinement + static
+    mask + substep advection) produces the SAME state as the unfused
+    step on the Pallas path (interpret mode)."""
+    import functools
+
+    import fluidsim_tpu as fs
+    import fluidsim_tpu.models.stable3d as s3
+    import fluidsim_tpu.pallas.advect as pa
+    import fluidsim_tpu.pallas.project as pp
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+    from fluidsim_tpu.scene.obstacles import build_obstacle_mask
+
+    monkeypatch.setattr(s3, "_pallas_usable", lambda cfg: True)
+    monkeypatch.setattr(
+        pp, "project_3d_pallas",
+        functools.partial(pp.project_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pp, "project_advect_density_3d_pallas",
+        functools.partial(pp.project_advect_density_3d_pallas,
+                          interpret=True),
+    )
+    monkeypatch.setattr(
+        pa, "advect_multi_3d_pallas",
+        functools.partial(pa.advect_multi_3d_pallas, interpret=True),
+    )
+
+    cfg = fs.get_preset("vortex128").replace(
+        size=N2, jacobi_iters=4, advect_substeps=2, source_radius=2.0,
+    )
+    obst = jnp.asarray(build_obstacle_mask(cfg))
+    state = fs.zeros_state(cfg, obstacles=obst)
+    d = jnp.abs(consistent2(0, 200, scale=1.0))
+    v = jnp.stack([consistent2(b, 201 + b, scale=0.3) for b in (1, 2, 3)])
+    state = state.replace(density=d, velocity=v)
+
+    out_unfused = simulate_step_3d(state, cfg)
+    out_fused = simulate_step_3d(
+        state, cfg.replace(fuse_project_advect=True)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.density), np.asarray(out_unfused.density)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.velocity), np.asarray(out_unfused.velocity)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.pressure), np.asarray(out_unfused.pressure)
+    )

@@ -73,6 +73,16 @@ timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --fuse-self-advect --advect-substeps 1 --steps 1000 --substeps 250
 
+echo "=== 5d. obstacle-config fused contender (vortex128) ==="
+# The two-phase fusion with a static obstacle mask: the projection folds
+# the mask into coefficient planes (as the unfused resident kernel
+# already does) and the density phase slices the VMEM-resident mask per
+# window.  Bitwise-equal (tests/test_pallas_interpret.py).  Saves the
+# density advect's velocity read (25 MB/step) + one dispatch on the
+# vortex128 preset.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset vortex128 \
+    --fuse-project-advect --steps 1000 --substeps 250
+
 echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
 # The 60-sweep loop is VMEM-operand-bandwidth bound (17.2 us/sweep =
 # one f32 volume read+write at the measured ~900 GB/s); bfloat16
