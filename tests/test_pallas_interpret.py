@@ -667,16 +667,22 @@ def test_step_fuse_self_advect_wiring(monkeypatch):
     )
 
 
-@pytest.mark.parametrize("n_sub", [1, 2])
-def test_fused_project_density_advect_obstacles(n_sub):
+@pytest.mark.parametrize("n_sub,window,solve_dtype", [
+    (1, 1, None),
+    (2, 1, None),
+    (2, 2, None),             # multi-cell CFL window with the mask
+    (2, 1, "bfloat16"),       # bf16 solve buffers + obstacle coef planes
+])
+def test_fused_project_density_advect_obstacles(n_sub, window, solve_dtype):
     """Obstacle variant of the fused projection+density-advect kernel
     (cfg.fuse_project_advect with a static mask — the vortex128 shape):
     bitwise the unfused composition (obstacle-aware resident projection,
-    then the standalone advect kernel with the mask).  Covers both the
-    in-kernel per-substep contract (n_sub > 1) and the single-substep
+    then the standalone advect kernel with the mask).  Covers the
+    in-kernel per-substep contract (n_sub > 1), the single-substep
     kernel+host-mask path (n_sub = 1) — for b=0 both reduce to
     fresh-zero walls/solids + faces, which the fused density phase
-    applies per substep in-values."""
+    applies per substep in-values — plus a multi-cell window and the
+    bfloat16 solve-buffer mode."""
     from fluidsim_tpu.pallas.resident import (
         project_3d_resident,
         project_advect_density_3d_resident,
@@ -688,12 +694,14 @@ def test_fused_project_density_advect_obstacles(n_sub):
     obst = np.zeros((N2, N2, N2), bool)
     obst[10:16, 9:15, 12:20] = True
     obst = jnp.asarray(obst)
-    ref_v, ref_p = project_3d_resident(vel, 8, obst=obst, interpret=True)
+    ref_v, ref_p = project_3d_resident(vel, 8, obst=obst, interpret=True,
+                                       solve_dtype=solve_dtype)
     ref_d = advect_multi_3d_pallas((0,), dens[None], ref_v, dt, obst,
-                                   window=1, n_sub=n_sub,
+                                   window=window, n_sub=n_sub,
                                    interpret=True)[0]
     got_v, got_p, got_d = project_advect_density_3d_resident(
-        vel, dens, 8, dt, window=1, n_sub=n_sub, obst=obst, interpret=True
+        vel, dens, 8, dt, window=window, n_sub=n_sub, obst=obst,
+        solve_dtype=solve_dtype, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
