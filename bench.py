@@ -10,7 +10,11 @@ Prints ONE JSON line:
 Method: the bench128 preset (buoyancy + emitter + windowed trilinear
 advection + 60-iter Jacobi projection), stepped in ``lax.scan`` rollouts of
 ``SUBSTEPS`` so host dispatch amortizes; timing excludes compilation and
-synchronizes via an on-device scalar fetch.
+synchronizes via an on-device scalar fetch.  Three bitwise-equal kernel
+arrangements are measured in-run (unfused / fused projection+density-advect
+/ full-step one-kernel) and the best wins — the ``variant`` field records
+which.  Env overrides for smoke tests: ``FLUIDSIM_BENCH_SUBSTEPS``,
+``FLUIDSIM_BENCH_TRIALS``, ``FLUIDSIM_BENCH_PRESET``.
 """
 
 from __future__ import annotations
@@ -27,8 +31,12 @@ import numpy as np
 # toward the device-busy floor (1.69 ms/step at 128³ per the profiler
 # trace — see docs/KERNELS.md "device-side step breakdown").  Measured
 # 566.6 / 577.7 / 583.4 steps/s at 250 / 500 / 1000.
-SUBSTEPS = 1000
-TRIALS = 3
+import os
+
+SUBSTEPS = int(os.environ.get("FLUIDSIM_BENCH_SUBSTEPS", 1000))
+TRIALS = int(os.environ.get("FLUIDSIM_BENCH_TRIALS", 3))
+# Smoke-test override (CPU CI can't run a 128³ rollout in reasonable time)
+PRESET = os.environ.get("FLUIDSIM_BENCH_PRESET", "bench128")
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
 
@@ -67,8 +75,6 @@ def _probe_backend(timeout_s: float = 150.0, attempts: int = 4,
 
 
 def main() -> None:
-    import os
-
     if not _probe_backend():
         print(
             json.dumps(
@@ -117,28 +123,51 @@ def main() -> None:
 
         return rollout, state
 
-    cfg = fs.get_preset("bench128")
-    try:
-        rollout, state = build(cfg)
-        # Warm-up: compile + one rollout (also seeds non-trivial fields).
-        state = rollout(state)
-        float(state.density.mean())  # sync
-    except Exception as exc:  # Pallas/Mosaic compile hiccup → XLA path
-        print(f"# pallas path failed ({type(exc).__name__}); "
-              "falling back to kernel_backend='xla'", file=sys.stderr)
-        cfg = cfg.replace(kernel_backend="xla")
-        rollout, state = build(cfg)
-        state = rollout(state)
-        float(state.density.mean())
-
-    best = 0.0
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        state = rollout(state)
-        state = rollout(state)
-        float(state.density.mean())  # device-complete sync, 4-byte fetch
-        elapsed = time.perf_counter() - t0
-        best = max(best, 2 * SUBSTEPS / elapsed)
+    base = fs.get_preset(PRESET)
+    # Contenders, all bitwise-equal numerics (tests/test_pallas_interpret
+    # .py): the unfused kernel step, the fused projection+density-advect
+    # kernel, and the full-step one-kernel fusion.  Each is measured
+    # in-run and the best wins — the fused kernels' on-chip standing can
+    # shift with toolchain updates, so the bench re-decides every run
+    # rather than baking in a stale default.
+    variants = [
+        ("base", base),
+        ("fuse_project_advect", base.replace(fuse_project_advect=True)),
+        ("fuse_full_step", base.replace(fuse_project_advect=True,
+                                        fuse_self_advect=True)),
+    ]
+    best, cfg, variant, state = 0.0, None, None, None
+    for name, vcfg in variants:
+        try:
+            rollout, vstate = build(vcfg)
+            # Warm-up: compile + one rollout (seeds non-trivial fields).
+            vstate = rollout(vstate)
+            float(vstate.density.mean())  # sync
+        except Exception as exc:  # Pallas/Mosaic compile hiccup
+            if name == "base":
+                # The headline must still report: XLA fallback.
+                print(f"# pallas path failed ({type(exc).__name__}); "
+                      "falling back to kernel_backend='xla'",
+                      file=sys.stderr)
+                vcfg = vcfg.replace(kernel_backend="xla")
+                rollout, vstate = build(vcfg)
+                vstate = rollout(vstate)
+                float(vstate.density.mean())
+            else:
+                print(f"# variant {name} failed ({type(exc).__name__}); "
+                      "skipped", file=sys.stderr)
+                continue
+        vbest = 0.0
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            vstate = rollout(vstate)
+            vstate = rollout(vstate)
+            float(vstate.density.mean())  # device-complete sync
+            elapsed = time.perf_counter() - t0
+            vbest = max(vbest, 2 * SUBSTEPS / elapsed)
+        print(f"# {name}: {vbest:.2f} steps/s", file=sys.stderr)
+        if vbest > best:
+            best, cfg, variant, state = vbest, vcfg, name, vstate
 
     if bool(jnp.isnan(state.density).any()):
         print(json.dumps({"error": "NaN in density after benchmark"}))
@@ -197,11 +226,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "steps/sec at 128^3 (60-iter Jacobi)",
+                "metric": ("steps/sec at 128^3 (60-iter Jacobi)"
+                           if PRESET == "bench128"
+                           else f"steps/sec ({PRESET})"),
                 "value": round(best, 2),
                 "unit": "steps/sec",
                 "vs_baseline": round(best / TARGET_STEPS_PER_SEC, 4),
                 "p50_step_raymarch_ms": round(p50, 2),
+                "variant": variant,
             }
         )
     )
