@@ -185,6 +185,16 @@ class SimConfig:
     # see pallas/resident.py and docs/KERNELS.md).  Applies only where
     # the resident kernel dispatches; other paths stay f32.
     solve_dtype: str = "float32"
+    # Composite double sweep for the resident pressure solve: two Jacobi
+    # iterations per VMEM pass (p₂ = x1 + (a·ic)²·N(N(p)) with the
+    # loop-invariant x1 hoisted and O(n²) plane corrections reproducing
+    # the intermediate set_bnd face rule) — same iteration count and
+    # per-pass vector-op count, HALF the VMEM operand traffic that bounds
+    # the 60-sweep loop.  f32-reassociation class accuracy (~1e-7
+    # relative, tests/test_pallas_interpret.py); applies only where the
+    # resident f32 no-obstacle solve dispatches.  Off by default until
+    # measured on-chip.
+    jacobi_double_sweep: bool = False
     # 3D advection scheme: "semi_lagrangian" (the reference's first-order
     # scheme) or "maccormack" (second-order BFECC-style with a
     # monotonicity limiter — less numerical diffusion, no reference

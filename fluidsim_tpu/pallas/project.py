@@ -160,7 +160,8 @@ def _pick_slab(n: int, windows: int):
 def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
                                      window: int = 1, n_sub: int = 1,
                                      solve_dtype=None, obst=None,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     double_sweep: bool = False):
     """Fused resident projection + density advection (optional static
     obstacle mask — the projection folds it into the solve coefficient +
     in-kernel mirror, the density phase slices the resident mask).
@@ -188,12 +189,14 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
     return project_advect_density_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, obst=obst, interpret=interpret,
+        double_sweep=double_sweep,
     )
 
 
 def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
                         window: int = 1, n_sub: int = 1,
-                        solve_dtype=None, interpret: bool = False):
+                        solve_dtype=None, interpret: bool = False,
+                        double_sweep: bool = False):
     """Fused self-advection + resident projection + density advection —
     the whole hot step in ONE kernel (obstacle-free).
 
@@ -217,12 +220,13 @@ def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
     return full_step_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, interpret=interpret,
+        double_sweep=double_sweep,
     )
 
 
 def project_3d_pallas(vel, iters: int, block_iters: int = 10,
                       interpret: bool = False, obst=None,
-                      solve_dtype=None):
+                      solve_dtype=None, double_sweep: bool = False):
     """Projection with Pallas div/Jacobi/grad. Returns (vel, p).  Falls
     back to ``ops.project.project_3d`` when the kernels don't apply.
 
@@ -251,7 +255,8 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
         # in-kernel face writes, the oracle's faces-then-mirror order).
         return project_3d_resident(vel, iters, obst=obst,
                                    interpret=interpret,
-                                   solve_dtype=solve_dtype)
+                                   solve_dtype=solve_dtype,
+                                   double_sweep=double_sweep)
 
     if obst is not None:  # slab kernels are obstacle-free
         return project_3d(vel, obst, iters, use_pallas=not interpret)

@@ -117,7 +117,7 @@ def _nbr_sum_f32(v):
 
 
 def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
-                iters: int, coef_ref=None, frozen_ref=None):
+                iters: int, coef_ref=None, frozen_ref=None, x1_ref=None):
     """Run ``iters`` face-maintained Jacobi sweeps ping-ponging pb0↔pb1.
 
     Obstacle handling (the reference's skip semantics, FluidSim.cs:1205 —
@@ -147,6 +147,29 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
     the sweep is bound by VMEM operand bandwidth / the iteration
     dependency chain, not by the roll copies.  Kept in the simpler rolled
     form.
+
+    ``x1_ref`` (optional f32 volume, only with ``b == 0``, f32 solve
+    buffers, and no obstacle refs): enables the **composite double
+    sweep** — two Jacobi iterations per pass as
+    ``p₂ = x1 + (a·ic)²·N(N(p))`` with ``x1 = ic·x0 + a·ic²·N(x0)``
+    precomputed once (loop-invariant), plus O(n²) plane-slice
+    corrections that reproduce the intermediate iterate's ``set_bnd``
+    face rule exactly (for an interior cell, a wall neighbor of the
+    intermediate reads the adjacent interior value; the toroidal
+    ``N(N(·))`` read a wrapped plane there, so the difference
+    ``tmp_raw[interior] − tmp_raw[wall]``, with
+    ``tmp_raw = (x0 + a·N(p))·ic``, is added back on the six first
+    interior planes).  Interior cells never read a wall *edge* (a
+    neighbor differs in exactly one coordinate), so single-face copies
+    fully describe what the second iteration reads.  Same per-cell
+    vector-op count as two single sweeps (two 6-neighbor sums + one
+    FMA vs two of each), but HALF the VMEM operand traffic the sweep
+    loop is bound by: one iterate read + one ``x1`` read + one write
+    per two iterations instead of two (read + rhs read + write)s.
+    NOT bitwise vs sequential sweeps — one f32 reassociation (the
+    ``a²·ic²`` regrouping; same class as the documented ``inv_c``
+    trade); the iteration is the same contraction and drift stays in
+    the few-ulp range (tests/test_pallas_interpret.py bounds it).
     """
     sz, sy, sx = _signs(b)
     az = jnp.asarray(a, jnp.float32)
@@ -169,6 +192,77 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         dst[:] = upd.astype(dst.dtype)
         _write_faces(dst, n, sz, sy, sx)
 
+    use_double = (
+        x1_ref is not None and b == 0 and f32_solve
+        and coef_ref is None and frozen_ref is None and iters >= 2
+    )
+    if use_double:
+        a_f = np.float32(a)
+        aic = np.float32(a_f * np.float32(inv_c))
+        a2ic2 = jnp.asarray(np.float32(aic * aic), jnp.float32)
+        aicz = jnp.asarray(aic, jnp.float32)
+
+        x0v = x0_ref[:].astype(jnp.float32)
+        x1_ref[:] = ic * x0v + (aicz * ic) * _nbr_sum(x0v)
+
+        def tr_plane(src, axis, j):
+            """``tmp_raw`` restricted to plane ``j`` of ``axis`` —
+            ``(x0 + a·N(p))·ic`` evaluated from O(n²) *ref slice* reads
+            (never slices of the full-volume ``u`` value, which would
+            pin ``u`` in VMEM and forfeit the traffic saving).  The
+            along-``axis`` neighbors are the adjacent plane slices
+            (toroidal, matching ``N``'s wrap); the in-plane neighbors
+            are rotates of the plane itself."""
+            def pl_(k):
+                sl = [slice(None)] * 3
+                sl[axis] = slice(k % n, k % n + 1)
+                return tuple(sl)
+
+            c = src[pl_(j)]
+
+            def pair(ax):
+                # (+1 neighbor) + (−1 neighbor), _nbr_sum's in-pair order.
+                if ax == axis:
+                    return src[pl_(j + 1)] + src[pl_(j - 1)]
+                return _roll(c, -1, ax) + _roll(c, 1, ax)
+
+            # _nbr_sum's axis order: (x-pair + y-pair) + z-pair.
+            nbr = (pair(2) + pair(1)) + pair(0)
+            return (x0_ref[pl_(j)] + az * nbr) * ic
+
+        def double(src, dst):
+            u = _nbr_sum(src[:])
+            dst[:] = x1_ref[:] + a2ic2 * _nbr_sum(u)
+
+            # Intermediate face-rule corrections on the six first
+            # interior planes (see docstring), from ref-slice reads so
+            # the full-volume ``u`` stays streamable.
+            for axis in range(3):
+                for j, w in ((1, 0), (n - 2, n - 1)):
+                    sl = [slice(None)] * 3
+                    sl[axis] = slice(j, j + 1)
+                    sl = tuple(sl)
+                    dst[sl] = dst[sl] + aicz * (
+                        tr_plane(src, axis, j) - tr_plane(src, axis, w)
+                    )
+            _write_faces(dst, n, sz, sy, sx)
+
+        d = iters // 2
+
+        def two_doubles(_, carry):
+            double(pb0, pb1)
+            double(pb1, pb0)
+            return carry
+
+        jax.lax.fori_loop(0, d // 2, two_doubles, 0)
+        cur, other = (pb1, pb0) if d % 2 else (pb0, pb1)
+        if d % 2:
+            double(pb0, pb1)
+        if iters % 2:
+            sweep(cur, other)
+            return other
+        return cur
+
     def two(_, carry):
         sweep(pb0, pb1)
         sweep(pb1, pb0)
@@ -181,8 +275,9 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
     return pb0
 
 
-def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, sems,
-                   *, n: int, b: int, a: float, inv_c: float, iters: int):
+def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, *rest,
+                   n: int, b: int, a: float, inv_c: float, iters: int):
+    *x1s, sems = rest
     in_dma = pltpu.make_async_copy(x_hbm, pb0, sems.at[0])
     x0_dma = pltpu.make_async_copy(x0_hbm, x0s, sems.at[1])
     in_dma.start()
@@ -191,7 +286,7 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, sems,
     x0_dma.wait()
 
     final = _solve_loop(x0s, pb0, pb1, n=n, b=b, a=a, inv_c=inv_c,
-                        iters=iters)
+                        iters=iters, x1_ref=x1s[0] if x1s else None)
 
     out_dma = pltpu.make_async_copy(final, out_hbm, sems.at[2])
     out_dma.start()
@@ -227,7 +322,8 @@ def _jacobi_obst_kernel(x_hbm, x0_hbm, obst_hbm, out_hbm, pb0, pb1, x0s,
 
 
 def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
-                       obst=None, interpret: bool = False):
+                       obst=None, interpret: bool = False,
+                       double_sweep: bool = False):
     """Whole-volume-in-VMEM ``ops.linsolve.jacobi_3d``.
 
     One kernel, one HBM read of (x, x0[, obst]) and one write of the
@@ -262,6 +358,11 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
             _jacobi_kernel, n=n, b=b, a=float(np.float32(a)), inv_c=inv_c,
             iters=iters,
         )
+        # Composite double sweep (b==0 only — _solve_loop's face
+        # corrections assume scalar signs): one extra f32 volume for the
+        # loop-invariant x1.
+        x1s = ([pltpu.VMEM((n, n, n), jnp.float32)]
+               if double_sweep and b == 0 and iters >= 2 else [])
         return pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
@@ -269,6 +370,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
                 pltpu.VMEM((n, n, n), jnp.float32),
                 pltpu.VMEM((n, n, n), jnp.float32),
                 pltpu.VMEM((n, n, n), jnp.float32),
+            ] + x1s + [
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             **common,
@@ -295,7 +397,8 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
 
 def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                   sems, *, n: int, iters: int, obst_hbm=None, omask=None,
-                  coef=None, vel_resident: bool = False):
+                  coef=None, vel_resident: bool = False,
+                  double_sweep: bool = False):
     """Projection dataflow shared by ``_project_kernel`` and the fused
     projection+density-advect kernel: DMA vel (+mask) in, divergence,
     ``iters`` sweeps, gradient subtraction with faces (+obstacle mirror),
@@ -348,8 +451,14 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         # needed) and every sweep runs the no-obstacle body.  Arithmetic
         # mask: Mosaic cannot relayout full-volume i1 vectors.
         coef[:] = (1.0 - omask[:].astype(f32)) * jnp.asarray(inv6, f32)
+    # Composite double sweep (see _solve_loop): pstag is dead until the
+    # post-solve p shipment, so it hosts the loop-invariant x1 volume.
+    # f32 solve buffers + f32 pstag + no obstacles only.
+    x1_ref = (pstag if double_sweep and omask is None
+              and pb0.dtype == jnp.float32
+              and pstag.dtype == jnp.float32 else None)
     final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
-                        iters=iters, coef_ref=coef)
+                        iters=iters, coef_ref=coef, x1_ref=x1_ref)
 
     # p is face-consistent (maintained every sweep) — ship it now so the
     # transfer overlaps the gradient computation.
@@ -424,10 +533,11 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
 
 def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                     sems, *, n: int, iters: int, obst_hbm=None, omask=None,
-                    coef=None):
+                    coef=None, double_sweep: bool = False):
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
         n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
+        double_sweep=double_sweep,
     )
     p_dma.wait()
     for dma in out_dmas:
@@ -593,7 +703,7 @@ def advect_project_3d_resident(vel, iters: int, dt: float, *,
 
 
 def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
-                        solve_dtype=None):
+                        solve_dtype=None, double_sweep: bool = False):
     """Whole-projection-in-VMEM: divergence + ``iters`` Jacobi sweeps +
     gradient subtraction in ONE kernel.  Returns (vel, p).
 
@@ -617,6 +727,12 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
     (measured: divergence removal 74.4% vs 74.5% of the f32 solve on a
     random field — tools note in docs/KERNELS.md); opt in via
     ``SimConfig.solve_dtype="bfloat16"``.
+
+    ``double_sweep``: run the solve as composite double sweeps (two
+    Jacobi iterations per VMEM pass — see ``_solve_loop``; f32
+    solve/storage, no obstacles; silently ignored otherwise).  Same
+    iteration count and contraction, ulp-class f32 reassociation drift;
+    halves the sweep loop's VMEM operand traffic.
     """
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n)
@@ -643,7 +759,8 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
         pltpu.VMEM((n, n, n), vel.dtype),         # pstag (out staging)
     ]
     if obst is None:
-        kernel = functools.partial(_project_kernel, n=n, iters=iters)
+        kernel = functools.partial(_project_kernel, n=n, iters=iters,
+                                   double_sweep=double_sweep)
         return pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -667,7 +784,8 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                            vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems,
                            dsems, *, n: int, iters: int, k_win: int,
                            n_sub: int, dt0: float, slab: int,
-                           obst_hbm=None, omask=None, coef=None):
+                           obst_hbm=None, omask=None, coef=None,
+                           double_sweep: bool = False):
     """Resident projection + density advection in ONE single-program kernel.
 
     The projection ends with the projected velocity resident in ``vbuf`` —
@@ -716,6 +834,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
         n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
+        double_sweep=double_sweep,
     )
 
     run()
@@ -883,7 +1002,8 @@ def project_advect_fits(n: int, window: int, n_sub: int,
 def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
                                        *, window: int = 1, n_sub: int = 1,
                                        solve_dtype=None, obst=None,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       double_sweep: bool = False):
     """Fused whole-projection-in-VMEM + density advection.
 
     Returns ``(vel', p, density')`` — bitwise equal to
@@ -937,7 +1057,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
     if obst is None:
         kernel = functools.partial(
             _project_advect_kernel, n=n, iters=iters, k_win=window,
-            n_sub=n_sub, dt0=dt0, slab=slab,
+            n_sub=n_sub, dt0=dt0, slab=slab, double_sweep=double_sweep,
         )
         return pl.pallas_call(
             kernel,
@@ -968,7 +1088,8 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
 def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                       vbuf, pb0, pb1, divb, pstag, awin, dwin, dowin,
                       sems, asems, dsems, *, n: int, iters: int, k_win: int,
-                      n_sub: int, dt0: float, a_slab: int, d_slab: int):
+                      n_sub: int, dt0: float, a_slab: int, d_slab: int,
+                      double_sweep: bool = False):
     """The whole hot step in ONE grid-less kernel: velocity self-advection
     → resident projection → density advection, as three sequential phases.
 
@@ -1059,7 +1180,7 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
 
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
-        n=n, iters=iters, vel_resident=True,
+        n=n, iters=iters, vel_resident=True, double_sweep=double_sweep,
     )
 
     run_density()
@@ -1102,7 +1223,8 @@ def full_step_fits(n: int, window: int, n_sub: int,
 
 def full_step_3d_resident(vel, density, iters: int, dt: float,
                           *, window: int = 1, n_sub: int = 1,
-                          solve_dtype=None, interpret: bool = False):
+                          solve_dtype=None, interpret: bool = False,
+                          double_sweep: bool = False):
     """Fused self-advection + whole-projection-in-VMEM + density advection
     (obstacle-free) — one kernel per step for the hot loop.
 
@@ -1127,6 +1249,7 @@ def full_step_3d_resident(vel, density, iters: int, dt: float,
     kernel = functools.partial(
         _full_step_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, a_slab=a_slab, d_slab=d_slab,
+        double_sweep=double_sweep,
     )
     return pl.pallas_call(
         kernel,

@@ -667,6 +667,102 @@ def test_step_fuse_self_advect_wiring(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("iters", [2, 3, 8, 20])
+def test_jacobi_double_sweep_matches_sequential(iters):
+    """Composite double sweep (jacobi_3d_resident double_sweep=True):
+    two Jacobi iterations per VMEM pass with the intermediate set_bnd
+    face rule reproduced by plane corrections.  Same iteration count as
+    the sequential sweeps; the only difference is one f32 reassociation
+    (the a²·ic² regrouping), so the result must agree to a few ulps —
+    bounded here at 1e-6 relative (measured ~1.5e-7)."""
+    from fluidsim_tpu.pallas.resident import jacobi_3d_resident
+
+    x = consistent2(0, 300, scale=1.0)
+    x0 = consistent2(1, 301, scale=1.0)
+    ref = np.asarray(jacobi_3d_resident(0, x, x0, 1.0, 6.0, iters,
+                                        interpret=True))
+    got = np.asarray(jacobi_3d_resident(0, x, x0, 1.0, 6.0, iters,
+                                        interpret=True, double_sweep=True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 1e-6 * scale
+
+
+def test_project_double_sweep_matches_sequential():
+    """project_3d_resident(double_sweep=True) at 60 iterations (the
+    bench128 solve) stays within 1e-6 relative of the sequential-sweep
+    projection on both the velocity and the pressure."""
+    from fluidsim_tpu.pallas.resident import project_3d_resident
+
+    vel = jnp.stack([consistent2(b, 310 + b, scale=0.5) for b in (1, 2, 3)])
+    rv, rp = project_3d_resident(vel, 60, interpret=True)
+    gv, gp = project_3d_resident(vel, 60, interpret=True, double_sweep=True)
+    rv, rp, gv, gp = (np.asarray(v) for v in (rv, rp, gv, gp))
+    assert np.abs(gv - rv).max() <= 1e-6 * np.abs(rv).max()
+    assert np.abs(gp - rp).max() <= 1e-6 * np.abs(rp).max()
+
+
+def test_step_jacobi_double_sweep_wiring(monkeypatch):
+    """simulate_step_3d with cfg.jacobi_double_sweep=True (bench128's
+    shape) dispatches the composite solve and the full step stays within
+    1e-5 relative of the single-sweep step; with obstacles the flag is
+    an inert no-op (bitwise-identical step)."""
+    import functools
+
+    import fluidsim_tpu as fs
+    import fluidsim_tpu.models.stable3d as s3
+    import fluidsim_tpu.pallas.advect as pa
+    import fluidsim_tpu.pallas.project as pp
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+    from fluidsim_tpu.scene.obstacles import build_obstacle_mask
+
+    monkeypatch.setattr(s3, "_pallas_usable", lambda cfg: True)
+    monkeypatch.setattr(
+        pp, "project_3d_pallas",
+        functools.partial(pp.project_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pa, "advect_multi_3d_pallas",
+        functools.partial(pa.advect_multi_3d_pallas, interpret=True),
+    )
+
+    cfg = fs.get_preset("bench128").replace(
+        size=N2, jacobi_iters=8, source_radius=2.0,
+    )
+    state = fs.zeros_state(cfg)
+    d = jnp.abs(consistent2(0, 320, scale=1.0))
+    v = jnp.stack([consistent2(b, 321 + b, scale=0.3) for b in (1, 2, 3)])
+    state = state.replace(density=d, velocity=v)
+
+    out_ref = simulate_step_3d(state, cfg)
+    out_dbl = simulate_step_3d(
+        state, cfg.replace(jacobi_double_sweep=True)
+    )
+    for name in ("density", "velocity", "pressure"):
+        r = np.asarray(getattr(out_ref, name))
+        g = np.asarray(getattr(out_dbl, name))
+        assert np.abs(g - r).max() <= 1e-5 * max(np.abs(r).max(), 1e-6), name
+
+    # Obstacles: the resident solve runs the coefficient-plane path, the
+    # double-sweep gate must be inert — bitwise-identical.
+    cfg_o = fs.get_preset("vortex128").replace(
+        size=N2, jacobi_iters=4, source_radius=2.0,
+    )
+    obst = jnp.asarray(build_obstacle_mask(cfg_o))
+    state_o = fs.zeros_state(cfg_o, obstacles=obst).replace(
+        density=d, velocity=v
+    )
+    out_o_ref = simulate_step_3d(state_o, cfg_o)
+    out_o_dbl = simulate_step_3d(
+        state_o, cfg_o.replace(jacobi_double_sweep=True)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_o_dbl.density), np.asarray(out_o_ref.density)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_o_dbl.velocity), np.asarray(out_o_ref.velocity)
+    )
+
+
 @pytest.mark.parametrize("n_sub,window,solve_dtype", [
     (1, 1, None),
     (2, 1, None),

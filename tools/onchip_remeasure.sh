@@ -83,6 +83,19 @@ echo "=== 5d. obstacle-config fused contender (vortex128) ==="
 timeout 3000 python -m fluidsim_tpu.cli bench --preset vortex128 \
     --fuse-project-advect --steps 1000 --substeps 250
 
+echo "=== 5e. composite double-sweep contender ==="
+# Two Jacobi iterations per VMEM pass in the resident solve (x1 hoisted,
+# N(N(p)) streamed, O(n^2) face-rule corrections).  Same iteration count,
+# ~1e-7-relative reassociation drift (tests/test_pallas_interpret.py).
+# Halves the sweep loop's VMEM operand traffic IF Mosaic streams the
+# intermediate 6-neighbor sum without materializing it — that is exactly
+# what this measurement decides.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --jacobi-double-sweep --steps 1000 --substeps 250
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --jacobi-double-sweep --fuse-self-advect --advect-substeps 1 \
+    --steps 1000 --substeps 250
+
 echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
 # The 60-sweep loop is VMEM-operand-bandwidth bound (17.2 us/sweep =
 # one f32 volume read+write at the measured ~900 GB/s); bfloat16
