@@ -130,11 +130,19 @@ def main() -> None:
     # in-run and the best wins — the fused kernels' on-chip standing can
     # shift with toolchain updates, so the bench re-decides every run
     # rather than baking in a stale default.
+    # double_sweep runs the same 60 Jacobi iterations with one f32
+    # reassociation (~1.5e-7 relative, bounded in
+    # tests/test_pallas_interpret.py) — same accuracy class as the
+    # kernels' existing 1/c-multiply trade.
     variants = [
         ("base", base),
         ("fuse_project_advect", base.replace(fuse_project_advect=True)),
         ("fuse_full_step", base.replace(fuse_project_advect=True,
                                         fuse_self_advect=True)),
+        ("double_sweep", base.replace(jacobi_double_sweep=True)),
+        ("fuse_full_step+double_sweep",
+         base.replace(fuse_project_advect=True, fuse_self_advect=True,
+                      jacobi_double_sweep=True)),
     ]
     best, cfg, variant, state = 0.0, None, None, None
     for name, vcfg in variants:
