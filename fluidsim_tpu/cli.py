@@ -278,8 +278,8 @@ def main(argv=None):
                         help="composite double sweep in the resident "
                         "pressure solve: two Jacobi iterations per VMEM "
                         "pass (same iteration count, ~1e-7-relative f32 "
-                        "reassociation drift; f32 no-obstacle resident "
-                        "solves only)")
+                        "reassociation drift; f32 resident solves only, "
+                        "obstacles supported)")
         sp.add_argument("--steps", type=int, default=steps)
         sp.add_argument("--substeps", type=int, default=10,
                         help="steps per lax.scan dispatch")

@@ -192,8 +192,9 @@ class SimConfig:
     # per-pass vector-op count, HALF the VMEM operand traffic that bounds
     # the 60-sweep loop.  f32-reassociation class accuracy (~1e-7
     # relative, tests/test_pallas_interpret.py); applies only where the
-    # resident f32 no-obstacle solve dispatches.  Off by default until
-    # measured on-chip.
+    # resident f32 solve dispatches (obstacle masks fine — the per-cell
+    # copy-through coefficient distributes through the composite).  Off
+    # by default until measured on-chip.
     jacobi_double_sweep: bool = False
     # 3D advection scheme: "semi_lagrangian" (the reference's first-order
     # scheme) or "maccormack" (second-order BFECC-style with a

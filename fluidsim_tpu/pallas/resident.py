@@ -194,23 +194,32 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
 
     use_double = (
         x1_ref is not None and b == 0 and f32_solve
-        and coef_ref is None and frozen_ref is None and iters >= 2
+        and frozen_ref is None and iters >= 2
     )
     if use_double:
         a_f = np.float32(a)
         aic = np.float32(a_f * np.float32(inv_c))
         a2ic2 = jnp.asarray(np.float32(aic * aic), jnp.float32)
         aicz = jnp.asarray(aic, jnp.float32)
+        a2 = jnp.asarray(np.float32(a_f * a_f), jnp.float32)
 
         x0v = x0_ref[:].astype(jnp.float32)
-        x1_ref[:] = ic * x0v + (aicz * ic) * _nbr_sum(x0v)
+        if coef_ref is None:
+            x1_ref[:] = ic * x0v + (aicz * ic) * _nbr_sum(x0v)
+        else:
+            # Per-cell coefficient (obstacle copy-through: coef =
+            # where(obst, 0, 1/c)) distributes through the composite:
+            # tmp = coef·(x0 + a·N(p)) ⇒
+            # p₂ = coef·x0 + a·coef·N(coef·x0) + a²·coef·N(coef·N(p)).
+            cv = coef_ref[:]
+            x1_ref[:] = cv * x0v + (az * cv) * _nbr_sum(cv * x0v)
 
         def tr_plane(src, axis, j):
             """``tmp_raw`` restricted to plane ``j`` of ``axis`` —
-            ``(x0 + a·N(p))·ic`` evaluated from O(n²) *ref slice* reads
-            (never slices of the full-volume ``u`` value, which would
-            pin ``u`` in VMEM and forfeit the traffic saving).  The
-            along-``axis`` neighbors are the adjacent plane slices
+            ``(x0 + a·N(p))·coef`` evaluated from O(n²) *ref slice*
+            reads (never slices of the full-volume ``u`` value, which
+            would pin ``u`` in VMEM and forfeit the traffic saving).
+            The along-``axis`` neighbors are the adjacent plane slices
             (toroidal, matching ``N``'s wrap); the in-plane neighbors
             are rotates of the plane itself."""
             def pl_(k):
@@ -228,11 +237,17 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
 
             # _nbr_sum's axis order: (x-pair + y-pair) + z-pair.
             nbr = (pair(2) + pair(1)) + pair(0)
-            return (x0_ref[pl_(j)] + az * nbr) * ic
+            mul = ic if coef_ref is None else coef_ref[pl_(j)]
+            return (x0_ref[pl_(j)] + az * nbr) * mul
 
         def double(src, dst):
             u = _nbr_sum(src[:])
-            dst[:] = x1_ref[:] + a2ic2 * _nbr_sum(u)
+            if coef_ref is None:
+                dst[:] = x1_ref[:] + a2ic2 * _nbr_sum(u)
+            else:
+                dst[:] = x1_ref[:] + (a2 * coef_ref[:]) * _nbr_sum(
+                    coef_ref[:] * u
+                )
 
             # Intermediate face-rule corrections on the six first
             # interior planes (see docstring), from ref-slice reads so
@@ -242,9 +257,10 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
                     sl = [slice(None)] * 3
                     sl[axis] = slice(j, j + 1)
                     sl = tuple(sl)
-                    dst[sl] = dst[sl] + aicz * (
-                        tr_plane(src, axis, j) - tr_plane(src, axis, w)
-                    )
+                    corr = tr_plane(src, axis, j) - tr_plane(src, axis, w)
+                    mul = (aicz if coef_ref is None
+                           else az * coef_ref[sl])
+                    dst[sl] = dst[sl] + mul * corr
             _write_faces(dst, n, sz, sy, sx)
 
         d = iters // 2
@@ -453,8 +469,9 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         coef[:] = (1.0 - omask[:].astype(f32)) * jnp.asarray(inv6, f32)
     # Composite double sweep (see _solve_loop): pstag is dead until the
     # post-solve p shipment, so it hosts the loop-invariant x1 volume.
-    # f32 solve buffers + f32 pstag + no obstacles only.
-    x1_ref = (pstag if double_sweep and omask is None
+    # f32 solve buffers + f32 pstag only (obstacles fine — the coef
+    # volume distributes through the composite).
+    x1_ref = (pstag if double_sweep
               and pb0.dtype == jnp.float32
               and pstag.dtype == jnp.float32 else None)
     final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
@@ -546,10 +563,10 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
 
 def _project_obst_kernel(vel_hbm, obst_hbm, velout_hbm, p_hbm,
                          vbuf, pb0, pb1, divb, pstag, omask, coef, sems,
-                         *, n: int, iters: int):
+                         *, n: int, iters: int, double_sweep: bool = False):
     _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                     sems, n=n, iters=iters, obst_hbm=obst_hbm, omask=omask,
-                    coef=coef)
+                    coef=coef, double_sweep=double_sweep)
 
 
 def _advect_project_kernel(vel_hbm, velout_hbm, p_hbm,
@@ -767,7 +784,8 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
             scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((5,))],
             **common,
         )(vel)
-    kernel = functools.partial(_project_obst_kernel, n=n, iters=iters)
+    kernel = functools.partial(_project_obst_kernel, n=n, iters=iters,
+                               double_sweep=double_sweep)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
@@ -847,12 +865,14 @@ def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
                                 p_hbm, densout_hbm, vbuf, pb0, pb1, divb,
                                 pstag, dwin, dowin, omask, coef, sems,
                                 dsems, *, n: int, iters: int, k_win: int,
-                                n_sub: int, dt0: float, slab: int):
+                                n_sub: int, dt0: float, slab: int,
+                                double_sweep: bool = False):
     _project_advect_kernel(
         vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
         vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems, dsems,
         n=n, iters=iters, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
         obst_hbm=obst_hbm, omask=omask, coef=coef,
+        double_sweep=double_sweep,
     )
 
 
@@ -1070,7 +1090,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
         )(vel, density)
     kernel = functools.partial(
         _project_advect_obst_kernel, n=n, iters=iters, k_win=window,
-        n_sub=n_sub, dt0=dt0, slab=slab,
+        n_sub=n_sub, dt0=dt0, slab=slab, double_sweep=double_sweep,
     )
     return pl.pallas_call(
         kernel,

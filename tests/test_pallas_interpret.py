@@ -704,8 +704,9 @@ def test_project_double_sweep_matches_sequential():
 def test_step_jacobi_double_sweep_wiring(monkeypatch):
     """simulate_step_3d with cfg.jacobi_double_sweep=True (bench128's
     shape) dispatches the composite solve and the full step stays within
-    1e-5 relative of the single-sweep step; with obstacles the flag is
-    an inert no-op (bitwise-identical step)."""
+    1e-5 relative of the single-sweep step; with obstacles the composite
+    runs through the coefficient-volume path (copy-through distributes
+    through it) to the same tolerance."""
     import functools
 
     import fluidsim_tpu as fs
@@ -742,8 +743,10 @@ def test_step_jacobi_double_sweep_wiring(monkeypatch):
         g = np.asarray(getattr(out_dbl, name))
         assert np.abs(g - r).max() <= 1e-5 * max(np.abs(r).max(), 1e-6), name
 
-    # Obstacles: the resident solve runs the coefficient-plane path, the
-    # double-sweep gate must be inert — bitwise-identical.
+    # Obstacles: the composite runs through the coefficient-volume path
+    # (the per-cell copy-through multiplier distributes through the
+    # double sweep) — same few-ulp tolerance, and obstacle interiors
+    # keep exactly zero velocity.
     cfg_o = fs.get_preset("vortex128").replace(
         size=N2, jacobi_iters=4, source_radius=2.0,
     )
@@ -755,12 +758,15 @@ def test_step_jacobi_double_sweep_wiring(monkeypatch):
     out_o_dbl = simulate_step_3d(
         state_o, cfg_o.replace(jacobi_double_sweep=True)
     )
-    np.testing.assert_array_equal(
-        np.asarray(out_o_dbl.density), np.asarray(out_o_ref.density)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out_o_dbl.velocity), np.asarray(out_o_ref.velocity)
-    )
+    for name in ("density", "velocity", "pressure"):
+        r = np.asarray(getattr(out_o_ref, name))
+        g = np.asarray(getattr(out_o_dbl, name))
+        assert np.abs(g - r).max() <= 1e-5 * max(np.abs(r).max(), 1e-6), name
+    inner = np.asarray(obst).copy()
+    inner[0] = inner[-1] = False
+    inner[:, 0] = inner[:, -1] = False
+    inner[:, :, 0] = inner[:, :, -1] = False
+    assert np.abs(np.asarray(out_o_dbl.velocity)[:, inner]).max() == 0.0
 
 
 @pytest.mark.parametrize("n_sub,window,solve_dtype", [

@@ -95,6 +95,11 @@ timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --jacobi-double-sweep --fuse-self-advect --advect-substeps 1 \
     --steps 1000 --substeps 250
+# Obstacle variant: the copy-through coefficient volume distributes
+# through the composite (one extra coef read per pass; 5 vs 8 volume
+# traffics per two sweeps).
+timeout 3000 python -m fluidsim_tpu.cli bench --preset vortex128 \
+    --jacobi-double-sweep --steps 1000 --substeps 250
 
 echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
 # The 60-sweep loop is VMEM-operand-bandwidth bound (17.2 us/sweep =
