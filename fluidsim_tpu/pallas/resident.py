@@ -193,7 +193,7 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         _write_faces(dst, n, sz, sy, sx)
 
     use_double = (
-        x1_ref is not None and b == 0 and f32_solve
+        x1_ref is not None and b == 0
         and frozen_ref is None and iters >= 2
     )
     if use_double:
@@ -203,16 +203,23 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         aicz = jnp.asarray(aic, jnp.float32)
         a2 = jnp.asarray(np.float32(a_f * a_f), jnp.float32)
 
+        # Narrow (bfloat16) solve buffers compose: iterate reads upcast
+        # after each rolled read (quartering the pair's operand traffic
+        # vs two f32 sweeps); x1 stays f32 (x1_ref is the f32/storage
+        # pstag volume), arithmetic is f32 throughout.
+        nsum = _nbr_sum if f32_solve else _nbr_sum_f32
         x0v = x0_ref[:].astype(jnp.float32)
         if coef_ref is None:
-            x1_ref[:] = ic * x0v + (aicz * ic) * _nbr_sum(x0v)
+            x1_ref[:] = (ic * x0v + (aicz * ic) * _nbr_sum(x0v)).astype(
+                x1_ref.dtype)
         else:
             # Per-cell coefficient (obstacle copy-through: coef =
             # where(obst, 0, 1/c)) distributes through the composite:
             # tmp = coef·(x0 + a·N(p)) ⇒
             # p₂ = coef·x0 + a·coef·N(coef·x0) + a²·coef·N(coef·N(p)).
             cv = coef_ref[:]
-            x1_ref[:] = cv * x0v + (az * cv) * _nbr_sum(cv * x0v)
+            x1_ref[:] = (cv * x0v + (az * cv) * _nbr_sum(cv * x0v)).astype(
+                x1_ref.dtype)
 
         def tr_plane(src, axis, j):
             """``tmp_raw`` restricted to plane ``j`` of ``axis`` —
@@ -227,27 +234,29 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
                 sl[axis] = slice(k % n, k % n + 1)
                 return tuple(sl)
 
-            c = src[pl_(j)]
+            c = src[pl_(j)].astype(jnp.float32)
 
             def pair(ax):
                 # (+1 neighbor) + (−1 neighbor), _nbr_sum's in-pair order.
                 if ax == axis:
-                    return src[pl_(j + 1)] + src[pl_(j - 1)]
+                    return (src[pl_(j + 1)].astype(jnp.float32)
+                            + src[pl_(j - 1)].astype(jnp.float32))
                 return _roll(c, -1, ax) + _roll(c, 1, ax)
 
             # _nbr_sum's axis order: (x-pair + y-pair) + z-pair.
             nbr = (pair(2) + pair(1)) + pair(0)
             mul = ic if coef_ref is None else coef_ref[pl_(j)]
-            return (x0_ref[pl_(j)] + az * nbr) * mul
+            return (x0_ref[pl_(j)].astype(jnp.float32) + az * nbr) * mul
 
         def double(src, dst):
-            u = _nbr_sum(src[:])
+            u = nsum(src[:])
             if coef_ref is None:
-                dst[:] = x1_ref[:] + a2ic2 * _nbr_sum(u)
+                out = x1_ref[:].astype(jnp.float32) + a2ic2 * _nbr_sum(u)
             else:
-                dst[:] = x1_ref[:] + (a2 * coef_ref[:]) * _nbr_sum(
-                    coef_ref[:] * u
-                )
+                out = x1_ref[:].astype(jnp.float32) + (
+                    a2 * coef_ref[:]
+                ) * _nbr_sum(coef_ref[:] * u)
+            dst[:] = out.astype(dst.dtype)
 
             # Intermediate face-rule corrections on the six first
             # interior planes (see docstring), from ref-slice reads so
@@ -260,7 +269,8 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
                     corr = tr_plane(src, axis, j) - tr_plane(src, axis, w)
                     mul = (aicz if coef_ref is None
                            else az * coef_ref[sl])
-                    dst[sl] = dst[sl] + mul * corr
+                    dst[sl] = (dst[sl].astype(jnp.float32)
+                               + mul * corr).astype(dst.dtype)
             _write_faces(dst, n, sz, sy, sx)
 
         d = iters // 2
@@ -469,10 +479,11 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         coef[:] = (1.0 - omask[:].astype(f32)) * jnp.asarray(inv6, f32)
     # Composite double sweep (see _solve_loop): pstag is dead until the
     # post-solve p shipment, so it hosts the loop-invariant x1 volume.
-    # f32 solve buffers + f32 pstag only (obstacles fine — the coef
-    # volume distributes through the composite).
+    # Requires f32 pstag (f32 field storage); solve buffers may be
+    # bfloat16 (narrow iterate reads compose with the composite —
+    # quarter traffic vs two f32 sweeps) and obstacle coef volumes are
+    # fine (they distribute through the composite).
     x1_ref = (pstag if double_sweep
-              and pb0.dtype == jnp.float32
               and pstag.dtype == jnp.float32 else None)
     final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
                         iters=iters, coef_ref=coef, x1_ref=x1_ref)

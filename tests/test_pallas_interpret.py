@@ -701,6 +701,26 @@ def test_project_double_sweep_matches_sequential():
     assert np.abs(gp - rp).max() <= 1e-6 * np.abs(rp).max()
 
 
+def test_project_double_sweep_bf16_solve():
+    """Composite double sweep with bfloat16 solve buffers (the
+    quarter-traffic contender): stays in the bf16 accuracy class vs
+    both the sequential bf16 solve and the f32 reference (x1 is f32 and
+    the iterate rounds once per two sweeps, so it cannot be worse than
+    sequential bf16's class)."""
+    from fluidsim_tpu.pallas.resident import project_3d_resident
+
+    vel = jnp.stack([consistent2(b, 330 + b, scale=0.5) for b in (1, 2, 3)])
+    rv, rp = project_3d_resident(vel, 60, interpret=True,
+                                 solve_dtype="bfloat16")
+    gv, gp = project_3d_resident(vel, 60, interpret=True,
+                                 solve_dtype="bfloat16", double_sweep=True)
+    fv, fp = project_3d_resident(vel, 60, interpret=True)
+    rv, gv, fv = (np.asarray(v) for v in (rv, gv, fv))
+    scale = np.abs(fv).max()
+    assert np.abs(gv - rv).max() <= 3e-2 * scale   # same bf16 class
+    assert np.abs(gv - fv).max() <= 3e-2 * scale   # sane vs f32 truth
+
+
 def test_step_jacobi_double_sweep_wiring(monkeypatch):
     """simulate_step_3d with cfg.jacobi_double_sweep=True (bench128's
     shape) dispatches the composite solve and the full step stays within

@@ -100,6 +100,11 @@ timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
 # traffics per two sweeps).
 timeout 3000 python -m fluidsim_tpu.cli bench --preset vortex128 \
     --jacobi-double-sweep --steps 1000 --substeps 250
+# Quarter-traffic contender: bf16 iterate reads + composite double sweep
+# (x1 stays f32; bf16 accuracy class, tests/test_pallas_interpret.py).
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --jacobi-double-sweep --solve-dtype bfloat16 --steps 1000 \
+    --substeps 250
 
 echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
 # The 60-sweep loop is VMEM-operand-bandwidth bound (17.2 us/sweep =
