@@ -123,5 +123,17 @@ timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --fuse-self-advect --solve-dtype bfloat16 --advect-substeps 1 \
     --steps 1000 --substeps 250
+# Kitchen sink: one-kernel step + composite double sweep + bf16 solve
+# buffers + single backtrace — every independent traffic lever at once.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-self-advect --jacobi-double-sweep --solve-dtype bfloat16 \
+    --advect-substeps 1 --steps 1000 --substeps 250
+# And with bf16 FIELD storage (halves the step's HBM traffic, which the
+# fused kernels expose once the VMEM sweeps shrink).  NOTE: bf16 storage
+# makes pstag bf16, which gates the double sweep off (x1 needs an f32
+# volume) — this measures fusion + narrow storage only.
+timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
+    --fuse-self-advect --dtype bfloat16 \
+    --advect-substeps 1 --steps 1000 --substeps 250
 
 echo "ALL DONE"
