@@ -130,8 +130,8 @@ def main() -> None:
     # in-run and the best wins — the fused kernels' on-chip standing can
     # shift with toolchain updates, so the bench re-decides every run
     # rather than baking in a stale default.
-    # double_sweep runs the same 60 Jacobi iterations with one f32
-    # reassociation (~1.5e-7 relative, bounded in
+    # sweep_blockT runs the same 60 Jacobi iterations, T per VMEM pass,
+    # with f32-reassociation-class drift (~1.5e-7 relative, bounded in
     # tests/test_pallas_interpret.py) — same accuracy class as the
     # kernels' existing 1/c-multiply trade.
     variants = [
@@ -139,10 +139,11 @@ def main() -> None:
         ("fuse_project_advect", base.replace(fuse_project_advect=True)),
         ("fuse_full_step", base.replace(fuse_project_advect=True,
                                         fuse_self_advect=True)),
-        ("double_sweep", base.replace(jacobi_double_sweep=True)),
-        ("fuse_full_step+double_sweep",
+        ("sweep_block2", base.replace(jacobi_sweep_block=2)),
+        ("sweep_block4", base.replace(jacobi_sweep_block=4)),
+        ("fuse_full_step+sweep_block4",
          base.replace(fuse_project_advect=True, fuse_self_advect=True,
-                      jacobi_double_sweep=True)),
+                      jacobi_sweep_block=4)),
     ]
     best, cfg, variant, state = 0.0, None, None, None
     for name, vcfg in variants:

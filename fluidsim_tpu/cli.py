@@ -51,8 +51,8 @@ def _build_engine(args, store=None):
         cfg = cfg.replace(fuse_project_advect=True)
     if getattr(args, "fuse_self_advect", False):
         cfg = cfg.replace(fuse_project_advect=True, fuse_self_advect=True)
-    if getattr(args, "jacobi_double_sweep", False):
-        cfg = cfg.replace(jacobi_double_sweep=True)
+    if getattr(args, "jacobi_sweep_block", None):
+        cfg = cfg.replace(jacobi_sweep_block=args.jacobi_sweep_block)
     return Engine(cfg, store=store, nan_guard=args.nan_guard)
 
 
@@ -274,12 +274,14 @@ def main(argv=None):
                         help="additionally fuse the velocity self-advection "
                         "— the whole hot step in ONE kernel (implies "
                         "--fuse-project-advect; bitwise-equal)")
-        sp.add_argument("--jacobi-double-sweep", action="store_true",
-                        help="composite double sweep in the resident "
-                        "pressure solve: two Jacobi iterations per VMEM "
+        sp.add_argument("--jacobi-sweep-block", type=int, default=None,
+                        metavar="T",
+                        help="composite sweep blocking in the resident "
+                        "pressure solve: T Jacobi iterations per VMEM "
                         "pass (same iteration count, ~1e-7-relative f32 "
-                        "reassociation drift; f32 resident solves only, "
-                        "obstacles supported)")
+                        "reassociation drift; f32-storage resident "
+                        "solves only, obstacles supported; T>=3 needs "
+                        "grid >= 4T)")
         sp.add_argument("--steps", type=int, default=steps)
         sp.add_argument("--substeps", type=int, default=10,
                         help="steps per lax.scan dispatch")

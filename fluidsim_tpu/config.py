@@ -185,17 +185,18 @@ class SimConfig:
     # see pallas/resident.py and docs/KERNELS.md).  Applies only where
     # the resident kernel dispatches; other paths stay f32.
     solve_dtype: str = "float32"
-    # Composite double sweep for the resident pressure solve: two Jacobi
-    # iterations per VMEM pass (p₂ = x1 + (a·ic)²·N(N(p)) with the
-    # loop-invariant x1 hoisted and O(n²) plane corrections reproducing
-    # the intermediate set_bnd face rule) — same iteration count and
-    # per-pass vector-op count, HALF the VMEM operand traffic that bounds
-    # the 60-sweep loop.  f32-reassociation class accuracy (~1e-7
-    # relative, tests/test_pallas_interpret.py); applies only where the
-    # resident f32 solve dispatches (obstacle masks fine — the per-cell
-    # copy-through coefficient distributes through the composite).  Off
-    # by default until measured on-chip.
-    jacobi_double_sweep: bool = False
+    # Composite sweep blocking for the resident pressure solve: T ≥ 2
+    # runs T Jacobi iterations per VMEM pass (the hoisted chain
+    # p_T = X + a^T·(C·N)-chain(p) with the loop-invariant X precomputed
+    # and the wall-adjacent planes recomputed bitwise-sequentially —
+    # pallas/resident._solve_loop) — same iteration count and per-pass
+    # vector-op count as T single sweeps, ~T× less of the VMEM operand
+    # traffic that bounds the 60-sweep loop.  f32-reassociation class
+    # accuracy (~1e-7 relative, tests/test_pallas_interpret.py); applies
+    # only where the resident f32-storage solve dispatches (obstacle
+    # masks and bf16 solve buffers compose; T ≥ 3 needs grid ≥ 4·T).
+    # 1 = sequential sweeps (default until measured on-chip).
+    jacobi_sweep_block: int = 1
     # 3D advection scheme: "semi_lagrangian" (the reference's first-order
     # scheme) or "maccormack" (second-order BFECC-style with a
     # monotonicity limiter — less numerical diffusion, no reference
@@ -299,6 +300,11 @@ class SimConfig:
             raise ValueError(
                 f"solve_dtype must be 'float32' or 'bfloat16', "
                 f"got {self.solve_dtype!r}"
+            )
+        if self.jacobi_sweep_block < 1:
+            raise ValueError(
+                f"jacobi_sweep_block must be >= 1, "
+                f"got {self.jacobi_sweep_block}"
             )
         return self
 

@@ -169,7 +169,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 vel, dens_in, cfg.jacobi_iters, dt,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype,
-                double_sweep=cfg.jacobi_double_sweep,
+                sweep_block=cfg.jacobi_sweep_block,
             )
 
     if fused3 is None:
@@ -198,7 +198,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 vel, dens_in, cfg.jacobi_iters, dt,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype, obst=obst,
-                double_sweep=cfg.jacobi_double_sweep,
+                sweep_block=cfg.jacobi_sweep_block,
             )
             if fused is not None:
                 vel, pressure, fused_density = fused
@@ -208,7 +208,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
             # on the resident kernel, falls back to XLA otherwise.
             vel, pressure = project_3d_pallas(
                 vel, cfg.jacobi_iters, obst=obst, solve_dtype=solve_dtype,
-                double_sweep=cfg.jacobi_double_sweep,
+                sweep_block=cfg.jacobi_sweep_block,
             )
     else:
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)

@@ -161,7 +161,7 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
                                      window: int = 1, n_sub: int = 1,
                                      solve_dtype=None, obst=None,
                                      interpret: bool = False,
-                                     double_sweep: bool = False):
+                                     sweep_block: int = 1):
     """Fused resident projection + density advection (optional static
     obstacle mask — the projection folds it into the solve coefficient +
     in-kernel mirror, the density phase slices the resident mask).
@@ -189,14 +189,14 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
     return project_advect_density_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, obst=obst, interpret=interpret,
-        double_sweep=double_sweep,
+        sweep_block=sweep_block,
     )
 
 
 def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
                         window: int = 1, n_sub: int = 1,
                         solve_dtype=None, interpret: bool = False,
-                        double_sweep: bool = False):
+                        sweep_block: int = 1):
     """Fused self-advection + resident projection + density advection —
     the whole hot step in ONE kernel (obstacle-free).
 
@@ -220,13 +220,13 @@ def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
     return full_step_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, interpret=interpret,
-        double_sweep=double_sweep,
+        sweep_block=sweep_block,
     )
 
 
 def project_3d_pallas(vel, iters: int, block_iters: int = 10,
                       interpret: bool = False, obst=None,
-                      solve_dtype=None, double_sweep: bool = False):
+                      solve_dtype=None, sweep_block: int = 1):
     """Projection with Pallas div/Jacobi/grad. Returns (vel, p).  Falls
     back to ``ops.project.project_3d`` when the kernels don't apply.
 
@@ -256,7 +256,7 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
         return project_3d_resident(vel, iters, obst=obst,
                                    interpret=interpret,
                                    solve_dtype=solve_dtype,
-                                   double_sweep=double_sweep)
+                                   sweep_block=sweep_block)
 
     if obst is not None:  # slab kernels are obstacle-free
         return project_3d(vel, obst, iters, use_pallas=not interpret)

@@ -116,8 +116,92 @@ def _nbr_sum_f32(v):
     ) + (_rollf(v, -1, 0) + _rollf(v, 1, 0))
 
 
+def _plane_faces(v, axis):
+    """Apply the ``b=0`` wall-face copies along the two in-plane axes of
+    a plane value (size 1 along ``axis``), in ascending axis order — the
+    sequential z→y→x face order restricted to the axes that act within
+    the plane (index 0 ← index 1, index m−1 ← index m−2)."""
+    for ax in range(3):
+        if ax == axis or v.shape[ax] == 1:
+            continue
+        m = v.shape[ax]
+        first = jax.lax.slice_in_dim(v, 1, 2, axis=ax)
+        mid = jax.lax.slice_in_dim(v, 1, m - 1, axis=ax)
+        last = jax.lax.slice_in_dim(v, m - 2, m - 1, axis=ax)
+        v = jnp.concatenate([first, mid, last], axis=ax)
+    return v
+
+
+def _shell_exact_planes(src_ref, x0_ref, coef_ref, *, n: int, block: int,
+                        a: float, inv_c: float):
+    """The first ``block−1`` interior planes of ``block`` sequential
+    face-maintained Jacobi sweeps, per axis and side, computed EXACTLY
+    (bitwise the volume sweeps) from O(n²) ref-slice reads.
+
+    The face rule's influence spreads one plane per sweep, so the
+    toroidal composite ``N^T`` differs from the sequential result only
+    on planes within ``T−1`` of a wall; conversely, computing those
+    planes sequentially needs a dependency cone that SHRINKS one plane
+    per level (level k needs level k−1 planes up to ``2T−k``), so the
+    whole correction is a per-axis 1-D recurrence over plane values:
+    level 0 is ``src`` plane slices (faces already valid on the
+    iterate), each level applies the exact sweep formula plus the
+    in-plane wall-face rows, and the level-(k) wall plane aliases its
+    first interior plane (the z-face copy; interior cells never read
+    wall *edges*, so the alias is exact where it is ever read).
+
+    Returns ``[(axis, global_plane_index, (1,n,n)-shaped value), ...]``
+    for the output planes to overwrite.  Requires ``n ≥ 4·block`` so
+    the two sides' dependency cones stay off the opposite walls.
+    """
+    az = jnp.asarray(a, jnp.float32)
+    ic = jnp.asarray(inv_c, jnp.float32)
+    out = []
+    for axis in range(3):
+        for lo in (True, False):
+            def idx(j):
+                return j if lo else n - 1 - j
+
+            def ref_plane(ref, j):
+                sl = [slice(None)] * 3
+                sl[axis] = slice(idx(j), idx(j) + 1)
+                return ref[tuple(sl)].astype(jnp.float32)
+
+            # Level 0 = the iterate itself; its faces are already valid
+            # (maintained every sweep), so plane 0 is the true value.
+            prev = [ref_plane(src_ref, j) for j in range(2 * block)]
+            for k in range(1, block + 1):
+                depth = 2 * block - 1 - k
+                cur = [None] * (depth + 1)
+                for j in range(1, depth + 1):
+                    c = prev[j]
+
+                    def pair(ax):
+                        # (global +1 neighbor) + (global −1 neighbor) —
+                        # _nbr_sum's in-pair add order.  On the hi side
+                        # the global +1 direction is shell j−1.
+                        if ax == axis:
+                            plus = prev[j + 1] if lo else prev[j - 1]
+                            minus = prev[j - 1] if lo else prev[j + 1]
+                            return plus + minus
+                        return _roll(c, -1, ax) + _roll(c, 1, ax)
+
+                    nbr = (pair(2) + pair(1)) + pair(0)
+                    mul = (ic if coef_ref is None
+                           else ref_plane(coef_ref, j))
+                    raw = (ref_plane(x0_ref, j) + az * nbr) * mul
+                    cur[j] = _plane_faces(raw, axis)
+                cur[0] = cur[1]
+                prev = cur
+            out.extend(
+                (axis, idx(j), prev[j]) for j in range(1, block)
+            )
+    return out
+
+
 def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
-                iters: int, coef_ref=None, frozen_ref=None, x1_ref=None):
+                iters: int, coef_ref=None, frozen_ref=None, x1_ref=None,
+                block: int = 2):
     """Run ``iters`` face-maintained Jacobi sweeps ping-ponging pb0↔pb1.
 
     Obstacle handling (the reference's skip semantics, FluidSim.cs:1205 —
@@ -148,9 +232,14 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
     dependency chain, not by the roll copies.  Kept in the simpler rolled
     form.
 
-    ``x1_ref`` (optional f32 volume, only with ``b == 0``, f32 solve
-    buffers, and no obstacle refs): enables the **composite double
-    sweep** — two Jacobi iterations per pass as
+    ``x1_ref`` (optional f32 volume, ``b == 0`` only) + ``block=T``:
+    enables **composite sweep blocking** — ``T`` Jacobi iterations per
+    VMEM pass.  ``T == 2`` uses the delta-correction form below;
+    ``T ≥ 3`` uses the general hoisted chain
+    ``p_T = X + a^T·(C·N)-chain(p)`` with the wall-adjacent planes
+    overwritten by the bitwise-sequential shell recomputation
+    (``_shell_exact_planes``; requires ``n ≥ 4·T``).  The ``T = 2``
+    delta form: two Jacobi iterations per pass as
     ``p₂ = x1 + (a·ic)²·N(N(p))`` with ``x1 = ic·x0 + a·ic²·N(x0)``
     precomputed once (loop-invariant), plus O(n²) plane-slice
     corrections that reproduce the intermediate iterate's ``set_bnd``
@@ -192,11 +281,69 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         dst[:] = upd.astype(dst.dtype)
         _write_faces(dst, n, sz, sy, sx)
 
-    use_double = (
+    use_block = (
         x1_ref is not None and b == 0
-        and frozen_ref is None and iters >= 2
+        and frozen_ref is None and block >= 2 and iters >= block
+        and (block == 2 or n >= 4 * block)
     )
-    if use_double:
+    if use_block and block >= 3:
+        # General depth-T composite: T sweeps per VMEM pass as
+        # ``p_T = X + a^T·(C·N)-chain(p)`` with
+        # ``X = Σ_{k<T} a^k·g_k, g_0 = C·x0, g_k = C·N(g_{k−1})``
+        # hoisted (C = 1/c or the obstacle coef volume), and the planes
+        # the face rule reaches (1..T−1 per wall) overwritten with the
+        # bitwise-sequential shell recomputation (_shell_exact_planes).
+        # One iterate read + one X read + one write per T iterations.
+        a_f = np.float32(a)
+        ic_f = np.float32(inv_c)
+        f32 = jnp.float32
+        nsum = _nbr_sum if f32_solve else _nbr_sum_f32
+        cmul = ((lambda v: ic * v) if coef_ref is None
+                else (lambda v: coef_ref[:] * v))
+
+        x0v = x0_ref[:].astype(f32)
+        g = cmul(x0v)
+        acc = g
+        pw = np.float32(1.0)
+        for _ in range(block - 1):
+            pw = np.float32(pw * a_f)
+            g = cmul(_nbr_sum(g))
+            acc = acc + jnp.asarray(pw, f32) * g
+        x1_ref[:] = acc.astype(x1_ref.dtype)
+        aT = jnp.asarray(np.float32(pw * a_f), f32)  # a^T
+
+        def blockstep(src, dst):
+            h = nsum(src[:])
+            for _ in range(block - 1):
+                h = _nbr_sum(cmul(h))
+            out = x1_ref[:].astype(f32) + aT * cmul(h)
+            dst[:] = out.astype(dst.dtype)
+            for axis, gj, val in _shell_exact_planes(
+                    src, x0_ref, coef_ref, n=n, block=block,
+                    a=float(a_f), inv_c=float(ic_f)):
+                sl = [slice(None)] * 3
+                sl[axis] = slice(gj, gj + 1)
+                dst[tuple(sl)] = val.astype(dst.dtype)
+            _write_faces(dst, n, sz, sy, sx)
+
+        nb = iters // block
+
+        def two_blocks(_, carry):
+            blockstep(pb0, pb1)
+            blockstep(pb1, pb0)
+            return carry
+
+        jax.lax.fori_loop(0, nb // 2, two_blocks, 0)
+        cur, other = (pb0, pb1)
+        if nb % 2:
+            blockstep(pb0, pb1)
+            cur, other = pb1, pb0
+        for _ in range(iters % block):
+            sweep(cur, other)
+            cur, other = other, cur
+        return cur
+
+    if use_block:
         a_f = np.float32(a)
         aic = np.float32(a_f * np.float32(inv_c))
         a2ic2 = jnp.asarray(np.float32(aic * aic), jnp.float32)
@@ -302,7 +449,8 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
 
 
 def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, *rest,
-                   n: int, b: int, a: float, inv_c: float, iters: int):
+                   n: int, b: int, a: float, inv_c: float, iters: int,
+                   block: int = 1):
     *x1s, sems = rest
     in_dma = pltpu.make_async_copy(x_hbm, pb0, sems.at[0])
     x0_dma = pltpu.make_async_copy(x0_hbm, x0s, sems.at[1])
@@ -312,7 +460,8 @@ def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, *rest,
     x0_dma.wait()
 
     final = _solve_loop(x0s, pb0, pb1, n=n, b=b, a=a, inv_c=inv_c,
-                        iters=iters, x1_ref=x1s[0] if x1s else None)
+                        iters=iters, x1_ref=x1s[0] if x1s else None,
+                        block=block)
 
     out_dma = pltpu.make_async_copy(final, out_hbm, sems.at[2])
     out_dma.start()
@@ -349,7 +498,7 @@ def _jacobi_obst_kernel(x_hbm, x0_hbm, obst_hbm, out_hbm, pb0, pb1, x0s,
 
 def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
                        obst=None, interpret: bool = False,
-                       double_sweep: bool = False):
+                       sweep_block: int = 1):
     """Whole-volume-in-VMEM ``ops.linsolve.jacobi_3d``.
 
     One kernel, one HBM read of (x, x0[, obst]) and one write of the
@@ -382,13 +531,14 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
     if obst is None:
         kernel = functools.partial(
             _jacobi_kernel, n=n, b=b, a=float(np.float32(a)), inv_c=inv_c,
-            iters=iters,
+            iters=iters, block=sweep_block,
         )
-        # Composite double sweep (b==0 only — _solve_loop's face
+        # Composite sweep block (b==0 only — _solve_loop's face
         # corrections assume scalar signs): one extra f32 volume for the
         # loop-invariant x1.
         x1s = ([pltpu.VMEM((n, n, n), jnp.float32)]
-               if double_sweep and b == 0 and iters >= 2 else [])
+               if sweep_block >= 2 and b == 0 and iters >= sweep_block
+               else [])
         return pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
@@ -424,7 +574,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
 def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                   sems, *, n: int, iters: int, obst_hbm=None, omask=None,
                   coef=None, vel_resident: bool = False,
-                  double_sweep: bool = False):
+                  sweep_block: int = 1):
     """Projection dataflow shared by ``_project_kernel`` and the fused
     projection+density-advect kernel: DMA vel (+mask) in, divergence,
     ``iters`` sweeps, gradient subtraction with faces (+obstacle mirror),
@@ -477,16 +627,17 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
         # needed) and every sweep runs the no-obstacle body.  Arithmetic
         # mask: Mosaic cannot relayout full-volume i1 vectors.
         coef[:] = (1.0 - omask[:].astype(f32)) * jnp.asarray(inv6, f32)
-    # Composite double sweep (see _solve_loop): pstag is dead until the
+    # Composite sweep block (see _solve_loop): pstag is dead until the
     # post-solve p shipment, so it hosts the loop-invariant x1 volume.
     # Requires f32 pstag (f32 field storage); solve buffers may be
     # bfloat16 (narrow iterate reads compose with the composite —
     # quarter traffic vs two f32 sweeps) and obstacle coef volumes are
     # fine (they distribute through the composite).
-    x1_ref = (pstag if double_sweep
+    x1_ref = (pstag if sweep_block >= 2
               and pstag.dtype == jnp.float32 else None)
     final = _solve_loop(divb, pb0, pb1, n=n, b=0, a=1.0, inv_c=inv6,
-                        iters=iters, coef_ref=coef, x1_ref=x1_ref)
+                        iters=iters, coef_ref=coef, x1_ref=x1_ref,
+                        block=sweep_block)
 
     # p is face-consistent (maintained every sweep) — ship it now so the
     # transfer overlaps the gradient computation.
@@ -561,11 +712,11 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
 
 def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                     sems, *, n: int, iters: int, obst_hbm=None, omask=None,
-                    coef=None, double_sweep: bool = False):
+                    coef=None, sweep_block: int = 1):
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
         n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
-        double_sweep=double_sweep,
+        sweep_block=sweep_block,
     )
     p_dma.wait()
     for dma in out_dmas:
@@ -574,10 +725,10 @@ def _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
 
 def _project_obst_kernel(vel_hbm, obst_hbm, velout_hbm, p_hbm,
                          vbuf, pb0, pb1, divb, pstag, omask, coef, sems,
-                         *, n: int, iters: int, double_sweep: bool = False):
+                         *, n: int, iters: int, sweep_block: int = 1):
     _project_kernel(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                     sems, n=n, iters=iters, obst_hbm=obst_hbm, omask=omask,
-                    coef=coef, double_sweep=double_sweep)
+                    coef=coef, sweep_block=sweep_block)
 
 
 def _advect_project_kernel(vel_hbm, velout_hbm, p_hbm,
@@ -731,7 +882,7 @@ def advect_project_3d_resident(vel, iters: int, dt: float, *,
 
 
 def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
-                        solve_dtype=None, double_sweep: bool = False):
+                        solve_dtype=None, sweep_block: int = 1):
     """Whole-projection-in-VMEM: divergence + ``iters`` Jacobi sweeps +
     gradient subtraction in ONE kernel.  Returns (vel, p).
 
@@ -756,11 +907,12 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
     random field — tools note in docs/KERNELS.md); opt in via
     ``SimConfig.solve_dtype="bfloat16"``.
 
-    ``double_sweep``: run the solve as composite double sweeps (two
-    Jacobi iterations per VMEM pass — see ``_solve_loop``; f32
-    solve/storage, no obstacles; silently ignored otherwise).  Same
-    iteration count and contraction, ulp-class f32 reassociation drift;
-    halves the sweep loop's VMEM operand traffic.
+    ``sweep_block``: composite sweep blocking — ``T ≥ 2`` runs ``T``
+    Jacobi iterations per VMEM pass (see ``_solve_loop``; f32 storage;
+    obstacle masks and bf16 solve buffers compose; silently ignored
+    otherwise).  Same iteration count and contraction, ulp-class f32
+    reassociation drift; cuts the sweep loop's VMEM operand traffic
+    ``~T×``.
     """
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n)
@@ -788,7 +940,7 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
     ]
     if obst is None:
         kernel = functools.partial(_project_kernel, n=n, iters=iters,
-                                   double_sweep=double_sweep)
+                                   sweep_block=sweep_block)
         return pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -796,7 +948,7 @@ def project_3d_resident(vel, iters: int, obst=None, interpret: bool = False,
             **common,
         )(vel)
     kernel = functools.partial(_project_obst_kernel, n=n, iters=iters,
-                               double_sweep=double_sweep)
+                               sweep_block=sweep_block)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
@@ -814,7 +966,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                            dsems, *, n: int, iters: int, k_win: int,
                            n_sub: int, dt0: float, slab: int,
                            obst_hbm=None, omask=None, coef=None,
-                           double_sweep: bool = False):
+                           sweep_block: int = 1):
     """Resident projection + density advection in ONE single-program kernel.
 
     The projection ends with the projected velocity resident in ``vbuf`` —
@@ -863,7 +1015,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
         n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
-        double_sweep=double_sweep,
+        sweep_block=sweep_block,
     )
 
     run()
@@ -877,13 +1029,13 @@ def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
                                 pstag, dwin, dowin, omask, coef, sems,
                                 dsems, *, n: int, iters: int, k_win: int,
                                 n_sub: int, dt0: float, slab: int,
-                                double_sweep: bool = False):
+                                sweep_block: int = 1):
     _project_advect_kernel(
         vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
         vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems, dsems,
         n=n, iters=iters, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
         obst_hbm=obst_hbm, omask=omask, coef=coef,
-        double_sweep=double_sweep,
+        sweep_block=sweep_block,
     )
 
 
@@ -1034,7 +1186,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
                                        *, window: int = 1, n_sub: int = 1,
                                        solve_dtype=None, obst=None,
                                        interpret: bool = False,
-                                       double_sweep: bool = False):
+                                       sweep_block: int = 1):
     """Fused whole-projection-in-VMEM + density advection.
 
     Returns ``(vel', p, density')`` — bitwise equal to
@@ -1088,7 +1240,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
     if obst is None:
         kernel = functools.partial(
             _project_advect_kernel, n=n, iters=iters, k_win=window,
-            n_sub=n_sub, dt0=dt0, slab=slab, double_sweep=double_sweep,
+            n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
         )
         return pl.pallas_call(
             kernel,
@@ -1101,7 +1253,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
         )(vel, density)
     kernel = functools.partial(
         _project_advect_obst_kernel, n=n, iters=iters, k_win=window,
-        n_sub=n_sub, dt0=dt0, slab=slab, double_sweep=double_sweep,
+        n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
     )
     return pl.pallas_call(
         kernel,
@@ -1120,7 +1272,7 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                       vbuf, pb0, pb1, divb, pstag, awin, dwin, dowin,
                       sems, asems, dsems, *, n: int, iters: int, k_win: int,
                       n_sub: int, dt0: float, a_slab: int, d_slab: int,
-                      double_sweep: bool = False):
+                      sweep_block: int = 1):
     """The whole hot step in ONE grid-less kernel: velocity self-advection
     → resident projection → density advection, as three sequential phases.
 
@@ -1211,7 +1363,7 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
 
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
-        n=n, iters=iters, vel_resident=True, double_sweep=double_sweep,
+        n=n, iters=iters, vel_resident=True, sweep_block=sweep_block,
     )
 
     run_density()
@@ -1255,7 +1407,7 @@ def full_step_fits(n: int, window: int, n_sub: int,
 def full_step_3d_resident(vel, density, iters: int, dt: float,
                           *, window: int = 1, n_sub: int = 1,
                           solve_dtype=None, interpret: bool = False,
-                          double_sweep: bool = False):
+                          sweep_block: int = 1):
     """Fused self-advection + whole-projection-in-VMEM + density advection
     (obstacle-free) — one kernel per step for the hot loop.
 
@@ -1280,7 +1432,7 @@ def full_step_3d_resident(vel, density, iters: int, dt: float,
     kernel = functools.partial(
         _full_step_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, a_slab=a_slab, d_slab=d_slab,
-        double_sweep=double_sweep,
+        sweep_block=sweep_block,
     )
     return pl.pallas_call(
         kernel,

@@ -63,7 +63,7 @@ def _random_cfg(rng: random.Random) -> SimConfig:
         if rng.random() < 0.4:
             kwargs["fuse_project_advect"] = True
             kwargs["fuse_self_advect"] = rng.random() < 0.5
-    kwargs["jacobi_double_sweep"] = rng.random() < 0.3
+    kwargs["jacobi_sweep_block"] = rng.choice((1, 1, 2, 4))
     if ndim == 3:
         kwargs.update(
             buoyancy=rng.choice((0.0, 1.0)),

@@ -667,14 +667,21 @@ def test_step_fuse_self_advect_wiring(monkeypatch):
     )
 
 
-@pytest.mark.parametrize("iters", [2, 3, 8, 20])
-def test_jacobi_double_sweep_matches_sequential(iters):
-    """Composite double sweep (jacobi_3d_resident double_sweep=True):
-    two Jacobi iterations per VMEM pass with the intermediate set_bnd
-    face rule reproduced by plane corrections.  Same iteration count as
-    the sequential sweeps; the only difference is one f32 reassociation
-    (the a²·ic² regrouping), so the result must agree to a few ulps —
-    bounded here at 1e-6 relative (measured ~1.5e-7)."""
+@pytest.mark.parametrize("iters,block", [
+    (2, 2), (3, 2), (8, 2), (20, 2),
+    (3, 3), (7, 3),            # shell path + leftover single sweeps
+    (4, 4), (8, 4), (20, 4),   # the bench sweep-block candidate
+])
+def test_jacobi_sweep_block_matches_sequential(iters, block):
+    """Composite sweep blocking (jacobi_3d_resident sweep_block=T):
+    T Jacobi iterations per VMEM pass with the intermediate set_bnd
+    face rule reproduced exactly (T=2: delta plane corrections; T≥3:
+    shell-exact plane recomputation).  Same iteration count as the
+    sequential sweeps; the only difference is f32 reassociation in the
+    deep interior, so the result must agree to a few ulps — bounded at
+    1e-6 relative (measured ~1.5e-7).  The wall-adjacent planes of a
+    single T≥3 block are BITWISE sequential (the shell recurrence runs
+    the exact per-cell arithmetic)."""
     from fluidsim_tpu.pallas.resident import jacobi_3d_resident
 
     x = consistent2(0, 300, scale=1.0)
@@ -682,23 +689,42 @@ def test_jacobi_double_sweep_matches_sequential(iters):
     ref = np.asarray(jacobi_3d_resident(0, x, x0, 1.0, 6.0, iters,
                                         interpret=True))
     got = np.asarray(jacobi_3d_resident(0, x, x0, 1.0, 6.0, iters,
-                                        interpret=True, double_sweep=True))
+                                        interpret=True, sweep_block=block))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() <= 1e-6 * scale
+    if block >= 3 and iters == block:
+        # One block exactly: replaced planes 1..T−1 are bitwise.
+        for j in list(range(1, block)) + [N2 - 1 - j
+                                          for j in range(1, block)]:
+            np.testing.assert_array_equal(got[j], ref[j], err_msg=f"z={j}")
+            np.testing.assert_array_equal(got[:, j], ref[:, j])
+            np.testing.assert_array_equal(got[:, :, j], ref[:, :, j])
 
 
-def test_project_double_sweep_matches_sequential():
-    """project_3d_resident(double_sweep=True) at 60 iterations (the
-    bench128 solve) stays within 1e-6 relative of the sequential-sweep
-    projection on both the velocity and the pressure."""
+@pytest.mark.parametrize("block,obst_on", [
+    (2, False), (4, False), (2, True), (4, True),
+])
+def test_project_sweep_block_matches_sequential(block, obst_on):
+    """project_3d_resident(sweep_block=T) at 60 iterations (the
+    bench128/vortex128 solves) stays within 1e-6 relative of the
+    sequential-sweep projection on both the velocity and the pressure;
+    with obstacles the copy-through stays exact (p ≡ 0 in solids)."""
     from fluidsim_tpu.pallas.resident import project_3d_resident
 
     vel = jnp.stack([consistent2(b, 310 + b, scale=0.5) for b in (1, 2, 3)])
-    rv, rp = project_3d_resident(vel, 60, interpret=True)
-    gv, gp = project_3d_resident(vel, 60, interpret=True, double_sweep=True)
+    obst = None
+    if obst_on:
+        o = np.zeros((N2, N2, N2), bool)
+        o[10:16, 9:15, 12:20] = True
+        obst = jnp.asarray(o)
+    rv, rp = project_3d_resident(vel, 60, obst=obst, interpret=True)
+    gv, gp = project_3d_resident(vel, 60, obst=obst, interpret=True,
+                                 sweep_block=block)
     rv, rp, gv, gp = (np.asarray(v) for v in (rv, rp, gv, gp))
     assert np.abs(gv - rv).max() <= 1e-6 * np.abs(rv).max()
     assert np.abs(gp - rp).max() <= 1e-6 * np.abs(rp).max()
+    if obst_on:
+        assert (gp[np.asarray(obst)] == 0).all()
 
 
 def test_project_double_sweep_bf16_solve():
@@ -713,7 +739,7 @@ def test_project_double_sweep_bf16_solve():
     rv, rp = project_3d_resident(vel, 60, interpret=True,
                                  solve_dtype="bfloat16")
     gv, gp = project_3d_resident(vel, 60, interpret=True,
-                                 solve_dtype="bfloat16", double_sweep=True)
+                                 solve_dtype="bfloat16", sweep_block=2)
     fv, fp = project_3d_resident(vel, 60, interpret=True)
     rv, gv, fv = (np.asarray(v) for v in (rv, gv, fv))
     scale = np.abs(fv).max()
@@ -721,8 +747,8 @@ def test_project_double_sweep_bf16_solve():
     assert np.abs(gv - fv).max() <= 3e-2 * scale   # sane vs f32 truth
 
 
-def test_step_jacobi_double_sweep_wiring(monkeypatch):
-    """simulate_step_3d with cfg.jacobi_double_sweep=True (bench128's
+def test_step_jacobi_sweep_block_wiring(monkeypatch):
+    """simulate_step_3d with cfg.jacobi_sweep_block=T (bench128's
     shape) dispatches the composite solve and the full step stays within
     1e-5 relative of the single-sweep step; with obstacles the composite
     runs through the coefficient-volume path (copy-through distributes
@@ -756,7 +782,7 @@ def test_step_jacobi_double_sweep_wiring(monkeypatch):
 
     out_ref = simulate_step_3d(state, cfg)
     out_dbl = simulate_step_3d(
-        state, cfg.replace(jacobi_double_sweep=True)
+        state, cfg.replace(jacobi_sweep_block=4)
     )
     for name in ("density", "velocity", "pressure"):
         r = np.asarray(getattr(out_ref, name))
@@ -776,7 +802,7 @@ def test_step_jacobi_double_sweep_wiring(monkeypatch):
     )
     out_o_ref = simulate_step_3d(state_o, cfg_o)
     out_o_dbl = simulate_step_3d(
-        state_o, cfg_o.replace(jacobi_double_sweep=True)
+        state_o, cfg_o.replace(jacobi_sweep_block=2)
     )
     for name in ("density", "velocity", "pressure"):
         r = np.asarray(getattr(out_o_ref, name))

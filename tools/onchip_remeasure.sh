@@ -83,27 +83,31 @@ echo "=== 5d. obstacle-config fused contender (vortex128) ==="
 timeout 3000 python -m fluidsim_tpu.cli bench --preset vortex128 \
     --fuse-project-advect --steps 1000 --substeps 250
 
-echo "=== 5e. composite double-sweep contender ==="
-# Two Jacobi iterations per VMEM pass in the resident solve (x1 hoisted,
-# N(N(p)) streamed, O(n^2) face-rule corrections).  Same iteration count,
-# ~1e-7-relative reassociation drift (tests/test_pallas_interpret.py).
-# Halves the sweep loop's VMEM operand traffic IF Mosaic streams the
-# intermediate 6-neighbor sum without materializing it — that is exactly
-# what this measurement decides.
+echo "=== 5e. composite sweep-block contenders ==="
+# T Jacobi iterations per VMEM pass in the resident solve (X hoisted,
+# the N-chain streamed, wall planes recomputed bitwise-sequentially).
+# Same iteration count, ~1e-7-relative reassociation drift
+# (tests/test_pallas_interpret.py).  Cuts the sweep loop's VMEM operand
+# traffic ~T× IF Mosaic streams the intermediate neighbor sums without
+# materializing them — exactly what this measurement decides; even
+# fully materialized, T=4 still reads/writes 9 volumes per 4 sweeps
+# vs 12 sequential.
+for T in 2 4 8; do
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
-    --jacobi-double-sweep --steps 1000 --substeps 250
+    --jacobi-sweep-block "$T" --steps 1000 --substeps 250
+done
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
-    --jacobi-double-sweep --fuse-self-advect --advect-substeps 1 \
+    --jacobi-sweep-block 4 --fuse-self-advect --advect-substeps 1 \
     --steps 1000 --substeps 250
 # Obstacle variant: the copy-through coefficient volume distributes
 # through the composite (one extra coef read per pass; 5 vs 8 volume
 # traffics per two sweeps).
 timeout 3000 python -m fluidsim_tpu.cli bench --preset vortex128 \
-    --jacobi-double-sweep --steps 1000 --substeps 250
+    --jacobi-sweep-block 2 --steps 1000 --substeps 250
 # Quarter-traffic contender: bf16 iterate reads + composite double sweep
 # (x1 stays f32; bf16 accuracy class, tests/test_pallas_interpret.py).
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
-    --jacobi-double-sweep --solve-dtype bfloat16 --steps 1000 \
+    --jacobi-sweep-block 2 --solve-dtype bfloat16 --steps 1000 \
     --substeps 250
 
 echo "=== 6. bf16 solve-buffer contenders (VMEM-traffic-halved sweeps) ==="
@@ -123,10 +127,10 @@ timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
     --fuse-self-advect --solve-dtype bfloat16 --advect-substeps 1 \
     --steps 1000 --substeps 250
-# Kitchen sink: one-kernel step + composite double sweep + bf16 solve
+# Kitchen sink: one-kernel step + composite sweep block + bf16 solve
 # buffers + single backtrace — every independent traffic lever at once.
 timeout 3000 python -m fluidsim_tpu.cli bench --preset bench128 \
-    --fuse-self-advect --jacobi-double-sweep --solve-dtype bfloat16 \
+    --fuse-self-advect --jacobi-sweep-block 4 --solve-dtype bfloat16 \
     --advect-substeps 1 --steps 1000 --substeps 250
 # And with bf16 FIELD storage (halves the step's HBM traffic, which the
 # fused kernels expose once the VMEM sweeps shrink).  NOTE: bf16 storage
