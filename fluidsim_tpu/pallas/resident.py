@@ -93,6 +93,46 @@ def _write_faces(ref, n: int, sz: float, sy: float, sx: float, c=None):
     )
 
 
+def _when_offset(i, *, n: int, slab: int, halo: int, n_slabs: int, emit):
+    """Run ``emit(off)`` with the static in-window offset of slab ``i``.
+
+    A z-window starts at ``start = clip(i·slab − halo, 0, n − p)`` with
+    ``p = slab + 2·halo``, so the offset ``off = i·slab − start`` of the
+    shipped slab inside the window takes only three STATIC values: 0 for
+    the first slab, ``halo`` for interior slabs, ``2·halo`` for the last
+    (requires ``halo ≤ slab`` so interior windows are never clipped —
+    asserted).  Mosaic has no value-side ``dynamic_slice`` lowering, so
+    the callers emit statically sliced writes under ``pl.when`` branches
+    instead (interpret mode accepted the dynamic form; real lowering
+    raised NotImplementedError).
+    """
+    p = slab + 2 * halo
+
+    def off_py(i_py: int) -> int:
+        start = min(max(i_py * slab - halo, 0), max(n - p, 0))
+        return i_py * slab - start
+
+    if n_slabs == 1:
+        emit(off_py(0))
+        return
+    assert halo <= slab, (
+        f"_when_offset: halo {halo} > slab {slab} clips interior windows"
+    )
+
+    @pl.when(i == 0)
+    def _():
+        emit(off_py(0))
+
+    if n_slabs > 2:
+        @pl.when(jnp.logical_and(i > 0, i < n_slabs - 1))
+        def _():
+            emit(halo)
+
+    @pl.when(i == n_slabs - 1)
+    def _():
+        emit(off_py(n_slabs - 1))
+
+
 def _nbr_sum(v):
     """6-neighbor sum, exact add order of ``ops.linsolve._nbr_sum_3d``."""
     return (
@@ -765,7 +805,6 @@ def _advect_project_kernel(vel_hbm, velout_hbm, p_hbm,
     def _advect_phase():
         z0 = i * slab
         start = jnp.clip(z0 - halo, 0, n - p)
-        off = z0 - start
         dma = pltpu.make_async_copy(
             vel_hbm.at[:, pl.ds(start, p)], fwin, sems.at[0]
         )
@@ -776,10 +815,13 @@ def _advect_project_kernel(vel_hbm, velout_hbm, p_hbm,
             vel_vals, vel_vals, start=start, n=n, p=p, k_win=k_win,
             n_sub=n_sub, dt0=dt0, bs=(1, 2, 3),
         )
-        for c in range(3):
-            velp[c, pl.ds(z0, slab)] = jax.lax.dynamic_slice(
-                out_vals[c], (off, 0, 0), (slab, n, n)
-            )
+
+        def emit(off):
+            for c in range(3):
+                velp[c, pl.ds(z0, slab)] = out_vals[c][off:off + slab]
+
+        _when_offset(i, n=n, slab=slab, halo=halo, n_slabs=n_slabs,
+                     emit=emit)
 
     @pl.when(i == n_slabs)
     def _project_phase():
@@ -1099,7 +1141,6 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
 
         z0 = i * slab
         start = jnp.clip(z0 - halo, 0, n - pw)
-        off = z0 - start
         vel_vals = tuple(
             vbuf.at[c][pl.ds(start, pw)].astype(f32) for c in range(3)
         )
@@ -1111,9 +1152,14 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
             n_sub=n_sub, dt0=dt0, bs=(0,), omask=om,
         )
         dowin_slot = dowin.at[slot]
-        dowin_slot[:, :, :] = jax.lax.dynamic_slice(
-            out[0], (off, 0, 0), (slab, n, n)
-        ).astype(dowin.dtype)
+
+        def emit(off):
+            dowin_slot[:, :, :] = (
+                out[0][off:off + slab].astype(dowin.dtype)
+            )
+
+        _when_offset(i, n=n, slab=slab, halo=halo, n_slabs=n_slabs,
+                     emit=emit)
 
         if omask_ref is None:
             # Output contract for b=0 (fresh-zero walls + set_bnd faces;
@@ -1335,7 +1381,6 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
 
         z0 = i * a_slab
         start = jnp.clip(z0 - halo, 0, n - pa)
-        off = z0 - start
         aw = awin.at[slot]
         # Self-advection aliasing: the advected fields ARE the advecting
         # velocity — one window stream, same as the standalone kernel's
@@ -1345,10 +1390,15 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
             vel_vals, vel_vals, start=start, n=n, p=pa, k_win=k_win,
             n_sub=n_sub, dt0=dt0, bs=(1, 2, 3),
         )
-        for c in range(3):
-            vbuf[c, pl.ds(z0, a_slab)] = jax.lax.dynamic_slice(
-                out[c], (off, 0, 0), (a_slab, n, n)
-            ).astype(vbuf.dtype)
+
+        def emit(off):
+            for c in range(3):
+                vbuf[c, pl.ds(z0, a_slab)] = (
+                    out[c][off:off + a_slab].astype(vbuf.dtype)
+                )
+
+        _when_offset(i, n=n, slab=a_slab, halo=halo, n_slabs=n_aslabs,
+                     emit=emit)
         return carry
 
     jax.lax.fori_loop(0, n_aslabs, a_body, 0)
