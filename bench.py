@@ -5,86 +5,206 @@ BASELINE.json metric; north-star target ≥1000 steps/s on one TPU v5e chip
 ratio against that 1000 steps/s target.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N, ...}
+
+Deadline-proof by construction (round-2 lesson: the driver's timeout killed
+the run before the final print and the round lost its official number):
+
+* every completed measurement lands in a global ``RESULT`` dict;
+* the JSON line is emitted exactly once by whichever fires first — normal
+  completion, SIGTERM/SIGINT (the driver's ``timeout`` sends SIGTERM), or a
+  watchdog *thread* that emits best-so-far at ``FLUIDSIM_BENCH_BUDGET_S``
+  (default 1200 s) even if the main thread is wedged inside a native call
+  (the axon tunnel's observed failure mode);
+* each phase checks the remaining budget before starting, so the required
+  fields (headline value, ``p50_step_raymarch_ms``) are produced first and
+  optional contenders only run with time to spare.
 
 Method: the bench128 preset (buoyancy + emitter + windowed trilinear
 advection + 60-iter Jacobi projection), stepped in ``lax.scan`` rollouts of
 ``SUBSTEPS`` so host dispatch amortizes; timing excludes compilation and
-synchronizes via an on-device scalar fetch.  Three bitwise-equal kernel
-arrangements are measured in-run (unfused / fused projection+density-advect
-/ full-step one-kernel) and the best wins — the ``variant`` field records
-which.  Env overrides for smoke tests: ``FLUIDSIM_BENCH_SUBSTEPS``,
-``FLUIDSIM_BENCH_TRIALS``, ``FLUIDSIM_BENCH_PRESET``.
+synchronizes via an on-device scalar fetch.  The headline is the best of
+the bitwise-equal kernel arrangements (preset default / unfused /
+full-step one-kernel); accuracy-class-changing contenders (bf16 solve
+buffers, single-backtrace advection) are measured afterwards into the
+``contenders`` field and never set the headline.  Roofline probes (HBM
+copy bandwidth, host→device sync round trip) are embedded in the JSON so
+the ceiling claim in docs/KERNELS.md is auditable from the artifact alone.
+
+Env overrides: ``FLUIDSIM_BENCH_SUBSTEPS``, ``FLUIDSIM_BENCH_TRIALS``,
+``FLUIDSIM_BENCH_PRESET``, ``FLUIDSIM_BENCH_BUDGET_S``,
+``FLUIDSIM_BENCH_ALL=1`` (adds the measured-loser sweep_block variants).
 """
 
 from __future__ import annotations
 
+import atexit
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
-
-# Rollout length per dispatch: the host sync costs one tunnel round trip
-# (~36 ms) per trial regardless of length, so longer scans amortize it
-# toward the device-busy floor (1.69 ms/step at 128³ per the profiler
-# trace — see docs/KERNELS.md "device-side step breakdown").  Measured
-# 566.6 / 577.7 / 583.4 steps/s at 250 / 500 / 1000.
-import os
-
 SUBSTEPS = int(os.environ.get("FLUIDSIM_BENCH_SUBSTEPS", 1000))
 TRIALS = int(os.environ.get("FLUIDSIM_BENCH_TRIALS", 3))
-# Smoke-test override (CPU CI can't run a 128³ rollout in reasonable time)
 PRESET = os.environ.get("FLUIDSIM_BENCH_PRESET", "bench128")
+BUDGET_S = float(os.environ.get("FLUIDSIM_BENCH_BUDGET_S", 1200))
+BENCH_ALL = os.environ.get("FLUIDSIM_BENCH_ALL", "") == "1"
 TARGET_STEPS_PER_SEC = 1000.0  # BASELINE.json north star
 
+T0 = time.monotonic()
 
-def _probe_backend(timeout_s: float = 150.0, attempts: int = 4,
-                   retry_wait_s: float = 30.0) -> bool:
+
+def _elapsed() -> float:
+    return time.monotonic() - T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+# ----------------------------------------------------------------------
+# Single-shot result emission (normal exit / SIGTERM / watchdog).
+# ----------------------------------------------------------------------
+
+RESULT: dict = {
+    "metric": ("steps/sec at 128^3 (60-iter Jacobi)" if PRESET == "bench128"
+               else f"steps/sec ({PRESET})"),
+    "unit": "steps/sec",
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit() -> int:
+    """Print the one JSON line (best-so-far) exactly once.  Returns the
+    exit code the caller should use (0 iff a headline value landed)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return 0 if "value" in RESULT else 1
+        _EMITTED = True
+    if "value" in RESULT:
+        out = dict(RESULT)
+        out["vs_baseline"] = round(out["value"] / TARGET_STEPS_PER_SEC, 4)
+        print(json.dumps(out), flush=True)
+        return 0
+    print(json.dumps({"error": RESULT.get(
+        "error", "no measurement completed before emission")}), flush=True)
+    return 1
+
+
+def _emit_and_die(signum, frame):  # signal handler (SIGTERM/SIGINT)
+    code = _emit()
+    os._exit(code)
+
+
+def _watchdog():
+    # A thread (not SIGALRM): signal handlers only run on the main
+    # thread's bytecode boundaries, so a main thread wedged in a native
+    # jax call (tunnel hang) would never service them; a daemon thread
+    # runs as soon as the GIL is free, which jax's blocking calls allow.
+    deadline = BUDGET_S - 5.0
+    while _elapsed() < deadline:
+        time.sleep(min(5.0, deadline - _elapsed()))
+    print(f"# watchdog: budget {BUDGET_S:.0f}s reached, emitting "
+          "best-so-far", file=sys.stderr, flush=True)
+    os._exit(_emit())
+
+
+def _probe_backend() -> bool:
     """Run a trivial device computation in a THROWAWAY subprocess.
 
     The axon tunnel's observed failure mode is a SIGTERM-immune native
-    hang at first backend init (it survives ``timeout`` without ``-k``),
-    so a dead tunnel would stall this process forever at the first jax
-    call.  Probing in a subprocess — which ``subprocess.run`` SIGKILLs on
-    timeout — lets the bench fail fast with an explicit error line
-    instead of hanging the caller.  The tunnel also *flaps* (observed to
-    come back after minutes-long outages), so the probe retries over a
-    bounded ~10-minute window before declaring the backend dead.
+    hang at first backend init, so a dead tunnel would stall this process
+    forever at the first jax call.  Probing in a subprocess — which
+    ``subprocess.run`` SIGKILLs on timeout — lets the bench fail fast.
+    The tunnel also *flaps* (comes back after minutes), so the probe
+    retries until 40% of the budget is spent.
     """
     import subprocess
 
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((4,4)).sum()))"
-    for attempt in range(attempts):
+    # A COLD `import jax` on this box takes ~50 s (measured; warm ~4 s),
+    # so the per-attempt timeout floor must exceed it.
+    probe_deadline = max(min(0.4 * BUDGET_S, 600.0), 130.0)
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
-                timeout=timeout_s,
+                timeout=max(90.0, min(150.0, probe_deadline - _elapsed())),
                 capture_output=True,
             )
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if attempt < attempts - 1:
-            print(f"# backend probe {attempt + 1}/{attempts} failed; "
-                  f"retrying in {retry_wait_s:.0f}s", file=sys.stderr)
-            time.sleep(retry_wait_s)
-    return False
+        if _elapsed() + 20.0 >= probe_deadline:
+            return False
+        print(f"# backend probe {attempt} failed; retrying in 20s",
+              file=sys.stderr, flush=True)
+        time.sleep(20.0)
+
+
+def _roofline_probes(jax, jnp) -> dict:
+    """Cheap on-device envelope probes, embedded in the JSON so the
+    docs/KERNELS.md roofline defense is auditable from the artifact:
+    * ``hbm_copy_gbps`` — read+write streaming bandwidth of a jitted
+      elementwise scale over a 256 MB f32 array (the class of traffic
+      that bounds the unfused step);
+    * ``sync_roundtrip_ms`` — host→device dispatch + scalar fetch round
+      trip (the per-rollout overhead the scan amortizes away).
+    """
+    probes = {}
+    try:
+        nelem = 16 * 1024 * 1024  # 64 MB f32
+        x = jnp.arange(nelem, dtype=jnp.float32) * np.float32(1e-7)
+        f = jax.jit(lambda v: v * np.float32(1.000001))
+        y = f(x)
+        float(y.mean())  # compile + sync
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(y)
+        # Sync via a derived-scalar fetch: block_until_ready was observed
+        # to return before the chain completed on this environment's
+        # backends; fetching a value computed from the final array cannot.
+        float(y.mean())
+        dt = time.perf_counter() - t0
+        # reps × (read + write) + the mean's final read pass.
+        probes["hbm_copy_gbps"] = round(
+            (2 * reps + 1) * 4 * nelem / dt / 1e9, 1)
+
+        s = jnp.zeros(())
+        g = jax.jit(lambda v: v + 1.0)
+        float(g(s))
+        t0 = time.perf_counter()
+        k = 10
+        for _ in range(k):
+            s = g(s)
+            float(s)  # force a device fetch each iteration
+        probes["sync_roundtrip_ms"] = round(
+            (time.perf_counter() - t0) * 1e3 / k, 2)
+    except Exception as exc:  # probes must never block the headline
+        probes["probe_error"] = f"{type(exc).__name__}: {exc}"
+    return probes
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _emit_and_die)
+    signal.signal(signal.SIGINT, _emit_and_die)
+    threading.Thread(target=_watchdog, daemon=True).start()
+    atexit.register(_emit)
+
     if not _probe_backend():
-        print(
-            json.dumps(
-                {
-                    "error": "device backend unreachable (subprocess probe "
-                    "timed out/failed); benchmark skipped"
-                }
-            )
-        )
-        sys.exit(1)
+        RESULT["error"] = ("device backend unreachable (subprocess probe "
+                           "timed out/failed); benchmark skipped")
+        sys.exit(_emit())
 
     # Persistent compilation cache: the Pallas kernels take minutes to
     # compile cold; repeated bench runs (and the driver's) hit the cache.
@@ -105,6 +225,10 @@ def main() -> None:
     from fluidsim_tpu.models.stable3d import simulate_step_3d
     from fluidsim_tpu.scene.sources import apply_custom_source
 
+    RESULT["probes"] = _roofline_probes(jax, jnp)
+    print(f"# probes: {RESULT['probes']} (t={_elapsed():.0f}s)",
+          file=sys.stderr, flush=True)
+
     def build(cfg):
         state = fs.zeros_state(cfg)
         dt = np.float32(cfg.effective_params()[0])
@@ -123,129 +247,168 @@ def main() -> None:
 
         return rollout, state
 
-    base = fs.get_preset(PRESET)
-    # Contenders, all bitwise-equal numerics (tests/test_pallas_interpret
-    # .py): the unfused kernel step, the fused projection+density-advect
-    # kernel, and the full-step one-kernel fusion.  Each is measured
-    # in-run and the best wins — the fused kernels' on-chip standing can
-    # shift with toolchain updates, so the bench re-decides every run
-    # rather than baking in a stale default.
-    # sweep_blockT runs the same 60 Jacobi iterations, T per VMEM pass,
-    # with f32-reassociation-class drift (~1.5e-7 relative, bounded in
-    # tests/test_pallas_interpret.py) — same accuracy class as the
-    # kernels' existing 1/c-multiply trade.
-    variants = [
-        ("base", base),
-        ("fuse_project_advect", base.replace(fuse_project_advect=True)),
-        ("fuse_full_step", base.replace(fuse_project_advect=True,
-                                        fuse_self_advect=True)),
-        ("sweep_block2", base.replace(jacobi_sweep_block=2)),
-        ("sweep_block4", base.replace(jacobi_sweep_block=4)),
-        ("fuse_full_step+sweep_block4",
-         base.replace(fuse_project_advect=True, fuse_self_advect=True,
-                      jacobi_sweep_block=4)),
-    ]
-    best, cfg, variant, state = 0.0, None, None, None
-    for name, vcfg in variants:
-        try:
-            rollout, vstate = build(vcfg)
-            # Warm-up: compile + one rollout (seeds non-trivial fields).
-            vstate = rollout(vstate)
-            float(vstate.density.mean())  # sync
-        except Exception as exc:  # Pallas/Mosaic compile hiccup
-            if name == "base":
-                # The headline must still report: XLA fallback.
-                print(f"# pallas path failed ({type(exc).__name__}); "
-                      "falling back to kernel_backend='xla'",
-                      file=sys.stderr)
-                vcfg = vcfg.replace(kernel_backend="xla")
-                rollout, vstate = build(vcfg)
-                vstate = rollout(vstate)
-                float(vstate.density.mean())
-            else:
-                print(f"# variant {name} failed ({type(exc).__name__}); "
-                      "skipped", file=sys.stderr)
-                continue
+    def measure(vcfg, trials=TRIALS):
+        """Compile + warm-up rollout, then best-of-``trials`` steps/s.
+        Returns (steps/s, final_state)."""
+        rollout, vstate = build(vcfg)
+        vstate = rollout(vstate)           # compile + seed fields
+        float(vstate.density.mean())       # sync
         vbest = 0.0
-        for _ in range(TRIALS):
+        for _ in range(trials):
             t0 = time.perf_counter()
             vstate = rollout(vstate)
             vstate = rollout(vstate)
-            float(vstate.density.mean())  # device-complete sync
-            elapsed = time.perf_counter() - t0
-            vbest = max(vbest, 2 * SUBSTEPS / elapsed)
-        print(f"# {name}: {vbest:.2f} steps/s", file=sys.stderr)
-        if vbest > best:
-            best, cfg, variant, state = vbest, vcfg, name, vstate
+            float(vstate.density.mean())   # device-complete sync
+            vbest = max(vbest, 2 * SUBSTEPS / (time.perf_counter() - t0))
+        return vbest, vstate
 
-    if bool(jnp.isnan(state.density).any()):
-        print(json.dumps({"error": "NaN in density after benchmark"}))
-        sys.exit(1)
+    base = fs.get_preset(PRESET)
 
-    # Second BASELINE metric: p50 step+raymarch frame time — one fused
-    # step+volumetric-render program per frame (what a live viewer pays,
-    # dispatch included).
-    from fluidsim_tpu.render.raymarch import render_frame_3d
+    # -- phase 1: headline variants (bitwise-equal numerics) ------------
+    # Ordered expected-winner-first so an early kill still records the
+    # best-known arrangement.  The preset default IS the r02 measured
+    # winner (fuse_project_advect); "unfused" is the regression tripwire.
+    variants = [
+        ("default", base),
+        ("fuse_full_step", base.replace(fuse_project_advect=True,
+                                        fuse_self_advect=True)),
+        ("unfused", base.replace(fuse_project_advect=False,
+                                 fuse_self_advect=False)),
+    ]
+    if BENCH_ALL:
+        # Measured losers on this chip (r02: sweep_block2 at 296 vs 588
+        # base — Mosaic materializes the intermediate neighbor sums).
+        # Kept behind the flag for re-evaluation after toolchain updates.
+        variants += [
+            ("sweep_block2", base.replace(jacobi_sweep_block=2)),
+            ("sweep_block4", base.replace(jacobi_sweep_block=4)),
+            ("fuse_full_step+sweep_block4",
+             base.replace(fuse_project_advect=True, fuse_self_advect=True,
+                          jacobi_sweep_block=4)),
+        ]
 
-    def build_frame(cfg):
+    best, best_cfg, best_state = 0.0, None, None
+    RESULT["variants"] = {}
+    p50_done = False
+
+    def maybe_p50(cfg, state):
+        """Second BASELINE metric: p50 step+raymarch frame time — one
+        fused step+volumetric-render program per frame (what a live
+        viewer pays, dispatch included).  Measured as scanned chunks of
+        frames with one sync; per-frame host dispatches through the axon
+        tunnel would add ~36 ms round-trip artifact otherwise."""
+        nonlocal p50_done
+        if p50_done or _remaining() < 0.35 * BUDGET_S:
+            return
+        p50_done = True
+        from fluidsim_tpu.render.raymarch import render_frame_3d
+
         dt = np.float32(cfg.effective_params()[0])
 
-        @jax.jit
-        def frame(state):
+        def one_frame(state, _):
             t = state.time + dt
             density, velocity = apply_custom_source(
                 state.density, state.velocity, cfg, t
             )
-            state = simulate_step_3d(
+            st = simulate_step_3d(
                 state.replace(density=density, velocity=velocity), cfg
             )
-            return state, render_frame_3d(state, cfg)
+            return st, render_frame_3d(st, cfg).mean()
 
-        return frame
+        CHUNK = 200
 
-    frame = build_frame(cfg)
-    state, img = frame(state)
-    float(img.mean())  # compile + sync
-    # Steady-state pipelined frame time: a live viewer overlaps frame k's
-    # fetch with frame k+1's compute, so the device step+render time is
-    # the per-frame cost.  Measured as a scanned chunk of frames with one
-    # sync — per-frame host dispatches through the axon tunnel add a
-    # noisy 0.4–1 ms/frame of enqueue overhead plus the ~36 ms sync
-    # round-trip, which is tunnel artifact, not frame cost (at CHUNK=25
-    # that artifact alone is ~1.4 ms/frame — ~45% of the reading).
-    CHUNK = 200
+        @jax.jit
+        def frame_chunk(state):
+            return jax.lax.scan(one_frame, state, None, length=CHUNK)
 
-    @jax.jit
-    def frame_chunk(state):
-        def one(state, _):
-            state, img = frame(state)  # nested jit inlines under trace
-            return state, img.mean()
-        return jax.lax.scan(one, state, None, length=CHUNK)
-
-    state, means = frame_chunk(state)
-    float(means[0])  # compile + sync
-    times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
         state, means = frame_chunk(state)
-        float(means[0])  # on-device reduction → tiny fetch
-        times.append((time.perf_counter() - t0) * 1e3 / CHUNK)
-    p50 = float(np.percentile(times, 50))
+        float(means[0])  # compile + sync
+        times = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            state, means = frame_chunk(state)
+            float(means[0])
+            times.append((time.perf_counter() - t0) * 1e3 / CHUNK)
+        RESULT["p50_step_raymarch_ms"] = round(
+            float(np.percentile(times, 50)), 2)
+        print(f"# p50 step+raymarch: {RESULT['p50_step_raymarch_ms']} ms "
+              f"(t={_elapsed():.0f}s)", file=sys.stderr, flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": ("steps/sec at 128^3 (60-iter Jacobi)"
-                           if PRESET == "bench128"
-                           else f"steps/sec ({PRESET})"),
-                "value": round(best, 2),
-                "unit": "steps/sec",
-                "vs_baseline": round(best / TARGET_STEPS_PER_SEC, 4),
-                "p50_step_raymarch_ms": round(p50, 2),
-                "variant": variant,
-            }
-        )
-    )
+    for name, vcfg in variants:
+        if best > 0.0 and _remaining() < 0.3 * BUDGET_S:
+            print(f"# skipping variant {name}: {_remaining():.0f}s left",
+                  file=sys.stderr, flush=True)
+            continue
+        try:
+            vbest, vstate = measure(vcfg)
+        except Exception as exc:  # Pallas/Mosaic compile hiccup
+            if name == "default" and best == 0.0:
+                # The headline must still report: XLA fallback.
+                print(f"# pallas path failed ({type(exc).__name__}); "
+                      "falling back to kernel_backend='xla'",
+                      file=sys.stderr, flush=True)
+                vcfg = vcfg.replace(kernel_backend="xla")
+                vbest, vstate = measure(vcfg)
+            else:
+                print(f"# variant {name} failed ({type(exc).__name__}); "
+                      "skipped", file=sys.stderr, flush=True)
+                continue
+        print(f"# {name}: {vbest:.2f} steps/s (t={_elapsed():.0f}s)",
+              file=sys.stderr, flush=True)
+        RESULT["variants"][name] = round(vbest, 2)
+        if vbest > best:
+            if bool(jnp.isnan(vstate.density).any()):
+                print(f"# variant {name} produced NaNs; not promoted",
+                      file=sys.stderr, flush=True)
+                continue
+            best, best_cfg, best_state = vbest, vcfg, vstate
+            RESULT["value"] = round(best, 2)
+            RESULT["variant"] = name
+            RESULT["step_ms"] = round(1e3 / best, 3)
+        if name == "default" and best > 0.0:
+            # p50 lands right after the first successful measurement —
+            # it is a required artifact field, not an optional extra.
+            maybe_p50(best_cfg, best_state)
+
+    if best == 0.0:
+        RESULT["error"] = "every variant failed to measure"
+        sys.exit(_emit())
+    maybe_p50(best_cfg, best_state)
+
+    # -- phase 2: accuracy-class contenders (never set the headline) ----
+    # bf16 solve buffers halve the sweep loop's VMEM operand traffic at
+    # ~1e-3-relative iterate rounding (same order as the 60-iteration
+    # truncation — config.py solve_dtype note); single-backtrace advection
+    # (n_sub=1, the reference's own scheme FluidSim.cs:1523-1576) halves
+    # the advect work but narrows the CFL envelope to 1 cell.
+    contenders = [
+        ("bf16_solve", base.replace(solve_dtype="bfloat16")),
+        ("bf16_solve+full_step",
+         base.replace(fuse_project_advect=True, fuse_self_advect=True,
+                      solve_dtype="bfloat16")),
+        ("single_backtrace", base.replace(advect_substeps=1)),
+        ("bf16_solve+full_step+single_backtrace",
+         base.replace(fuse_project_advect=True, fuse_self_advect=True,
+                      solve_dtype="bfloat16", advect_substeps=1)),
+    ]
+    RESULT.setdefault("contenders", {})
+    for name, vcfg in contenders:
+        if _remaining() < 0.25 * BUDGET_S:
+            print(f"# skipping contender {name}: {_remaining():.0f}s left",
+                  file=sys.stderr, flush=True)
+            break
+        try:
+            vbest, vstate = measure(vcfg, trials=2)
+        except Exception as exc:
+            print(f"# contender {name} failed ({type(exc).__name__})",
+                  file=sys.stderr, flush=True)
+            continue
+        nan = bool(jnp.isnan(vstate.density).any())
+        print(f"# contender {name}: {vbest:.2f} steps/s nan={nan} "
+              f"(t={_elapsed():.0f}s)", file=sys.stderr, flush=True)
+        RESULT["contenders"][name] = round(vbest, 2) if not nan else "NaN"
+
+    sys.exit(_emit())
 
 
 if __name__ == "__main__":

@@ -25,9 +25,8 @@ import sys
 import numpy as np
 
 
-def _build_engine(args, store=None):
+def _build_cfg(args):
     from .config import get_preset
-    from .engine import Engine
     from .io.checkpoint import load_config
 
     if args.config:
@@ -53,7 +52,13 @@ def _build_engine(args, store=None):
         cfg = cfg.replace(fuse_project_advect=True, fuse_self_advect=True)
     if getattr(args, "jacobi_sweep_block", None):
         cfg = cfg.replace(jacobi_sweep_block=args.jacobi_sweep_block)
-    return Engine(cfg, store=store, nan_guard=args.nan_guard)
+    return cfg
+
+
+def _build_engine(args, store=None):
+    from .engine import Engine
+
+    return Engine(_build_cfg(args), store=store, nan_guard=args.nan_guard)
 
 
 def cmd_run(args):
@@ -88,9 +93,86 @@ def cmd_run(args):
     }))
 
 
+def _bench_sharded(args):
+    """steps/sec for a slab-sharded step over an N-device mesh (BASELINE
+    config 5's measurement path: ``bench --preset sharded512 --mesh 8``).
+
+    Runs on whatever devices are visible: the real chip when N=1, or an
+    emulated mesh (``XLA_FLAGS=--xla_force_host_platform_device_count=8``
+    + ``JAX_PLATFORMS=cpu``) for correctness-grade multi-chip numbers —
+    the same virtual-mesh rig as tests/conftest.py (SURVEY.md §4).
+    """
+    import jax
+
+    # Environments that pre-register a TPU plugin (this box's axon
+    # sitecustomize) override JAX_PLATFORMS programmatically, so honoring
+    # the user's `JAX_PLATFORMS=cpu ... --mesh 8` emulation request needs
+    # the config channel, exactly as tests/conftest.py does.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        if args.mesh > 1:
+            try:
+                jax.config.update("jax_num_cpu_devices", args.mesh)
+            except RuntimeError:
+                pass  # backend already initialized (e.g. under pytest)
+
+    from . import state as fstate
+    from .parallel.sharding import make_mesh, shard_state, sharded_step_fn
+    from .scene.obstacles import build_obstacle_mask
+
+    cfg = _build_cfg(args)
+    devs = jax.devices()
+    if len(devs) < args.mesh:
+        print(json.dumps({
+            "error": f"{args.mesh} devices requested, {len(devs)} visible "
+                     "(emulate with XLA_FLAGS="
+                     "--xla_force_host_platform_device_count=N "
+                     "JAX_PLATFORMS=cpu)",
+        }))
+        return 1
+    mesh = make_mesh(devs[:args.mesh])
+    obst = None
+    if cfg.enable_obstacle:
+        import jax.numpy as jnp
+
+        obst = jnp.asarray(build_obstacle_mask(cfg))
+    state = shard_state(fstate.zeros_state(cfg, obstacles=obst), mesh)
+    per = max(args.substeps, 1)
+    step = sharded_step_fn(
+        cfg, mesh, n_substeps=per, halo=args.halo,
+        halo_block_iters=args.halo_block_iters,
+        halo_backend=args.halo_backend,
+        pallas_interpret=args.pallas_interpret,
+    )
+    state = step(state)  # compile + warm
+    float(state.density.mean())  # on-device scalar fetch = reliable sync
+    from .utils.profiling import StepTimer
+
+    timer = StepTimer()
+    done = 0
+    while done < args.steps:
+        with timer:
+            state = step(state)
+            float(state.density.mean())
+        done += per
+    print(json.dumps({
+        "preset": args.preset,
+        "grid": list(cfg.grid_shape),
+        "mesh": args.mesh,
+        "halo": args.halo,
+        "halo_backend": args.halo_backend,
+        "halo_block_iters": args.halo_block_iters,
+        "platform": devs[0].platform,
+        **timer.summary(steps_per_sample=per),
+    }))
+    return 0
+
+
 def cmd_bench(args):
     args.db = None
     args.nan_guard = False
+    if getattr(args, "mesh", None):
+        return _bench_sharded(args)
     eng = _build_engine(args)
     per = max(args.substeps, 1)
     eng.step(per, substeps_per_dispatch=per)  # compile + warm
@@ -297,6 +379,27 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
+    sp.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="bench the slab-sharded step over an N-device "
+                    "mesh (BASELINE config 5: "
+                    "`bench --preset sharded512 --mesh 8`; emulate "
+                    "devices with XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N "
+                    "JAX_PLATFORMS=cpu)")
+    sp.add_argument("--halo", choices=("auto", "explicit"), default="auto",
+                    help="stencil-communication strategy for --mesh "
+                    "(auto = XLA-partitioned, explicit = shard_map + "
+                    "ppermute/RDMA)")
+    sp.add_argument("--halo-backend",
+                    choices=("auto", "xla", "pallas", "rdma"),
+                    default="auto",
+                    help="per-shard compute for --halo explicit")
+    sp.add_argument("--halo-block-iters", type=int, default=1, metavar="T",
+                    help="communication-avoiding exchange cadence for "
+                    "--halo explicit (T-deep halos every T sweeps)")
+    sp.add_argument("--pallas-interpret", action="store_true",
+                    help="run per-shard Pallas kernels in the "
+                    "interpreter (CPU-mesh correctness runs only)")
     # Long rollouts for throughput: at the default 10 the per-sample
     # tunnel sync (~36 ms) would dominate small-grid step times; raise
     # steps with it so the default run still collects 10 timed samples.

@@ -523,6 +523,12 @@ def preset_bench_128() -> SimConfig:
         # (~30% faster per step, measurably less CFL clamping).
         advection_scheme="substep",
         advect_window=1,
+        # Measured winner on-chip (r02: 601.06 vs 588.10 steps/s
+        # unfused): the density advection runs as a phase of the
+        # projection kernel.  bench.py keeps measuring the unfused
+        # arrangement as a regression tripwire.  Bitwise-equal numerics;
+        # inert on non-Pallas paths (models/stable3d.py gating).
+        fuse_project_advect=True,
     ).validate()
 
 

@@ -74,10 +74,12 @@ def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False,
     the coefficient the reference uses is exactly right here.
     ``obst=None`` statically removes the obstacle branches.
     ``use_pallas`` routes the pressure solve through the VMEM-blocked
-    Pallas kernel (requires ``obst is None``).  ``jacobi_fn(p, div, iters)``
-    overrides the pressure solve entirely — the hook the explicit
-    halo-exchange solver (parallel/halo.jacobi_3d_sharded) plugs into.
-    Returns (vel, p).
+    Pallas kernel (requires ``obst is None``).
+    ``jacobi_fn(p, div, iters, obst)`` overrides the pressure solve
+    entirely — the hook the explicit halo-exchange solver
+    (parallel/halo.jacobi_3d_sharded) plugs into; it receives the
+    (possibly None) obstacle mask and must implement the copy-through
+    rule ``jacobi_3d`` applies.  Returns (vel, p).
     """
     n = vel.shape[-1]
     in_dtype = vel.dtype
@@ -102,7 +104,7 @@ def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False,
     p = set_bnd_3d(0, jnp.zeros_like(vx), obst)
 
     if jacobi_fn is not None:
-        p = jacobi_fn(p, div, iters)
+        p = jacobi_fn(p, div, iters, obst)
     elif use_pallas and obst is None:
         from ..pallas.jacobi import jacobi_3d_pallas
 

@@ -495,8 +495,16 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
                 # 1) plus ~6 window-equivalents of live mirror
                 # temporaries (f32 mask rolls, neighbor-value rolls,
                 # totals) — the (32, nbuf=2, halo=4) pick at 128³/K=3
-                # OOM'd the compile without this term.
-                mask_w = (nbuf + 6) if has_obst else 0
+                # OOM'd the compile without this term.  The aliased
+                # self-advect variant needs ~8 more: sharing the input
+                # windows saves DMA/VMEM but not the live mirror
+                # pressure of all 3 components — the (32, nbuf=1,
+                # halo=6) pick at 128³ (vortex128's velocity
+                # self-advect) spilled 131 MB of register-allocator
+                # slots and OOM'd the 128 MB VMEM (measured on-chip,
+                # r3) without this term.
+                mask_w = ((nbuf + 6 + (8 if self_adv else 0))
+                          if has_obst else 0)
                 # Self-advection aliases the field windows onto the
                 # velocity windows (no separate fields DMA/VMEM).
                 f_in = 0 if self_adv else n_fields

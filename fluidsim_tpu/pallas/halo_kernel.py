@@ -63,10 +63,10 @@ except Exception:  # pragma: no cover
 NO_WALL = -5
 
 
-def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
-                       sems, *, nz: int, n: int, slab: int, halo: int,
-                       t_iters: int, a: float, inv_c: float, b: int,
-                       tile_y: int | None = None):
+def _ext_jacobi_kernel(walls_smem, *refs, nz: int, n: int, slab: int,
+                       halo: int, t_iters: int, a: float, inv_c: float,
+                       b: int, tile_y: int | None = None,
+                       has_obst: bool = False):
     """T sweeps on z-windows of the (nz, n, n) extended slab.
 
     ``walls_smem``: int32[2] = (wall_lo, wall_hi) extended-array z indices
@@ -74,20 +74,40 @@ def _ext_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     shared
     with the single-chip kernel (``tile_geometry``); y/x wall handling is
     identical (global y/x walls exist on every shard).
+
+    ``has_obst`` inserts the halo-extended int8 obstacle mask after the
+    rhs input and an int8 window scratch after ``x0s`` (see
+    ``_ext_window_body``).
     """
+    if has_obst:
+        x_hbm, x0_hbm, obst_hbm, out_hbm, buf0, buf1, x0s, mbuf, sems = refs
+    else:
+        x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s, sems = refs
+        obst_hbm = mbuf = None
     _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
                      sems, pl.program_id(0), nz=nz, n=n, slab=slab,
                      halo=halo, t_iters=t_iters, a=a, inv_c=inv_c, b=b,
-                     tile_y=tile_y)
+                     tile_y=tile_y, obst_hbm=obst_hbm, mbuf=mbuf)
 
 
 def _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
                      sems, idx, *, nz: int, n: int, slab: int, halo: int,
                      t_iters: int, a: float, inv_c: float, b: int,
-                     tile_y: int | None = None):
+                     tile_y: int | None = None, obst_hbm=None, mbuf=None):
     """Window body shared by the plain extended-slab kernel and the RDMA
     round kernel: DMA the window in, run T corrected-read sweeps,
-    materialize wall faces, ship the slab."""
+    materialize wall faces, ship the slab.
+
+    ``obst_hbm``/``mbuf``: optional halo-extended int8 obstacle mask and
+    its window scratch.  The mask expands ONCE per window into an f32
+    coefficient ``where(obstacle, 0, 1/c)`` that replaces the scalar
+    ``1/c`` in every sweep — the resident kernel's coefficient-volume
+    formulation (pallas/resident.py).  Exact copy-through iff the
+    iterate is zero in solid cells, which the pressure solve guarantees
+    (``p`` enters as ``set_bnd_3d(0, zeros, obst)``; the ``b = 0`` wall
+    rule cannot write a nonzero into a solid).  Reference contract:
+    FluidSim.cs:1209-1211 (obstacle cells skipped by the sweep).
+    """
     p = slab + 2 * halo
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
     i, jy, z0, y0, start, ystart, off, off_y = window_origin(
@@ -103,12 +123,26 @@ def _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     )
     in_dma.start()
     x0_dma.start()
+    m_dma = None
+    if obst_hbm is not None:
+        m_dma = pltpu.make_async_copy(
+            obst_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], mbuf,
+            sems.at[2],
+        )
+        m_dma.start()
     in_dma.wait()
     x0_dma.wait()
+    if m_dma is not None:
+        m_dma.wait()
 
     sz, sy, sx = _signs(b)
     az = jnp.asarray(a, jnp.float32)
     ic = jnp.asarray(inv_c, jnp.float32)
+    if obst_hbm is not None:
+        # Expanded once per window; every sweep then multiplies by the
+        # coefficient volume instead of the scalar (zero extra vector
+        # ops per sweep beyond the multiply it replaces).
+        ic = jnp.where(mbuf[...] != 0, jnp.float32(0.0), ic)
     wall_lo = walls_smem[0]
     wall_hi = walls_smem[1]
 
@@ -397,11 +431,10 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
     )(*operands)
 
 
-def _rdma_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
-                        comm, sems, send_sems, recv_sems, *, nz: int, n: int,
+def _rdma_jacobi_kernel(walls_smem, *refs, nz: int, n: int,
                         slab: int, halo: int, t_iters: int, a: float,
                         inv_c: float, b: int, axis_name: str, n_win: int,
-                        tile_y: int | None = None):
+                        tile_y: int | None = None, has_obst: bool = False):
     """One communication round of the sharded Jacobi solve with the halo
     exchange fused INTO the kernel as inter-chip RDMA.
 
@@ -436,7 +469,19 @@ def _rdma_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
     reference leaves empty (no NCCL/MPI layer — SURVEY.md §5.8); the
     per-sweep dataflow is still LinearSolveIterationJob + BoundaryJob
     (FluidSim.cs:1188-1233, 1235-1289).
+
+    ``has_obst`` inserts the halo-extended int8 obstacle mask after the
+    rhs input and an int8 window scratch after ``x0s`` (the mask's own
+    halo is round-invariant — the caller primes it once via
+    ``halo_exchange_rdma``; it does NOT ride the per-round exchange).
     """
+    if has_obst:
+        (x_hbm, x0_hbm, obst_hbm, out_hbm, buf0, buf1, x0s, mbuf,
+         comm, sems, send_sems, recv_sems) = refs
+    else:
+        (x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
+         comm, sems, send_sems, recv_sems) = refs
+        obst_hbm = mbuf = None
     idx = pl.program_id(0)
     rank = jax.lax.axis_index(axis_name)
     ndev = jax.lax.axis_size(axis_name)
@@ -464,7 +509,7 @@ def _rdma_jacobi_kernel(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
         _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1,
                          x0s, sems, idx, nz=nz, n=n, slab=slab, halo=halo,
                          t_iters=t_iters, a=a, inv_c=inv_c, b=b,
-                         tile_y=tile_y)
+                         tile_y=tile_y, obst_hbm=obst_hbm, mbuf=mbuf)
 
     @pl.when(idx == n_win)
     def _exchange():
@@ -580,7 +625,7 @@ def rdma_comm_bytes(halo: int, n: int) -> int:
 
 def jacobi_ext_rdma(xp, x0_ext, a: float, c: float, t_iters: int,
                     wall_lo, wall_hi, b: int = 0, axis_name: str = "z",
-                    interpret: bool = False, vma=None):
+                    interpret: bool = False, vma=None, obst_ext=None):
     """One RDMA-fused round: ``t_iters`` sweeps on the halo-extended slab
     ``xp`` ((nz, n, n), nz = lz + 2·T) PLUS the inter-shard halo exchange,
     all inside one ``pallas_call`` (``_rdma_jacobi_kernel``).
@@ -591,11 +636,17 @@ def jacobi_ext_rdma(xp, x0_ext, a: float, c: float, t_iters: int,
     rounds chain with no XLA collectives.  Must be called inside
     ``shard_map`` over ``axis_name``.  Returns None when no VMEM-feasible
     window exists.
+
+    ``obst_ext``: optional halo-extended int8 obstacle mask (round-
+    invariant — prime it once with ``halo_exchange_rdma``); carried as a
+    per-window coefficient volume (see ``_ext_window_body``).
     """
     nz, py_, n = xp.shape
     assert x0_ext.shape == xp.shape and py_ == n
+    has_obst = obst_ext is not None
     picked = _pick_ext_block(nz, n, t_iters,
-                             extra_bytes=rdma_comm_bytes(t_iters, n))
+                             extra_bytes=rdma_comm_bytes(t_iters, n),
+                             extra_windows=1.25 if has_obst else 0.0)
     if picked is None:
         return None
     slab, tile_y = picked
@@ -610,37 +661,43 @@ def jacobi_ext_rdma(xp, x0_ext, a: float, c: float, t_iters: int,
         _rdma_jacobi_kernel, nz=nz, n=n, slab=slab, halo=t_iters,
         t_iters=t_iters, a=float(np.float32(a)), inv_c=inv_c, b=b,
         axis_name=axis_name, n_win=n_win, tile_y=tile_y,
+        has_obst=has_obst,
     )
+    operands = (walls, xp, x0_ext) + ((obst_ext,) if has_obst else ())
+    scratch = [
+        pltpu.VMEM((p, py, n), jnp.float32),
+        pltpu.VMEM((p, py, n), jnp.float32),
+        pltpu.VMEM((p, py, n), jnp.float32),
+    ]
+    if has_obst:
+        scratch.append(pltpu.VMEM((p, py, n), jnp.int8))
+    scratch += [
+        pltpu.VMEM((4, t_iters, n, n), jnp.float32),
+        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     if interpret:
         interpret = pltpu.InterpretParams()
     return pl.pallas_call(
         kernel,
         grid=(n_win + 1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (3 if has_obst else 2)
+        ),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=(
             jax.ShapeDtypeStruct((nz, n, n), xp.dtype) if vma is None
             else jax.ShapeDtypeStruct((nz, n, n), xp.dtype, vma=vma)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((p, py, n), jnp.float32),
-            pltpu.VMEM((p, py, n), jnp.float32),
-            pltpu.VMEM((p, py, n), jnp.float32),
-            pltpu.VMEM((4, t_iters, n, n), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
             collective_id=_RDMA_COLLECTIVE_ID,
         ),
         interpret=interpret,
-    )(walls, xp, x0_ext)
+    )(*operands)
 
 
 # Separate barrier semaphore for the standalone exchange kernel: its
@@ -890,13 +947,17 @@ def halo_exchange_rdma(arrays, depth: int, axis_name: str = "z",
     return list(out)
 
 
-def _pick_ext_block(nz: int, n: int, halo: int, extra_bytes: int = 0):
+def _pick_ext_block(nz: int, n: int, halo: int, extra_bytes: int = 0,
+                    extra_windows: float = 0.0):
     """(slab, tile_y) for an (nz, n, n) extended slab: slab divides nz
     (z is untiled, no alignment needed), tile divides n (8-aligned).
     Same VMEM model and min-redundancy selection as
     ``jacobi._pick_block``, with the ×1.25 tiled penalty below n=256.
     ``extra_bytes``: additional fixed VMEM the caller's kernel holds
-    alongside the windows (e.g. the RDMA comm slabs)."""
+    alongside the windows (e.g. the RDMA comm slabs).
+    ``extra_windows``: additional per-window footprint in f32
+    window-equivalents (e.g. 1.25 for the obstacle path's int8 mask
+    window + live f32 coefficient volume)."""
     budget = 120 * 1024 * 1024 - extra_bytes
     best = None
     best_cost = None
@@ -911,7 +972,8 @@ def _pick_ext_block(nz: int, n: int, halo: int, extra_bytes: int = 0):
             if nz % slab:
                 continue
             window = slab + 2 * halo
-            if (3 + 12) * window * plane_bytes > budget or window > nz:
+            if (3 + 12 + extra_windows) * window * plane_bytes > budget \
+                    or window > nz:
                 continue
             cost = window_cost(window, py, slab, ty, n, tile != n)
             if best_cost is None or cost < best_cost:
@@ -923,7 +985,7 @@ def _pick_ext_block(nz: int, n: int, halo: int, extra_bytes: int = 0):
 
 def jacobi_ext_pallas(xp, x0_ext, a: float, c: float, t_iters: int,
                       wall_lo, wall_hi, b: int = 0,
-                      interpret: bool = False, vma=None):
+                      interpret: bool = False, vma=None, obst_ext=None):
     """Run ``t_iters`` Jacobi sweeps on the halo-extended slab ``xp``
     ((nz, n, n), nz = lz + 2·T) with rhs ``x0_ext``.
 
@@ -934,13 +996,19 @@ def jacobi_ext_pallas(xp, x0_ext, a: float, c: float, t_iters: int,
     slice them off (``parallel.halo.jacobi_3d_sharded`` does).  Returns
     None when no VMEM-feasible window exists (caller falls back to XLA).
 
+    ``obst_ext``: optional halo-extended int8 obstacle mask, carried as
+    a per-window coefficient volume (see ``_ext_window_body`` — the
+    pressure-solve contract: the iterate is zero in solids).
+
     ``vma``: the varying-mesh-axes set for the output when called inside
     ``shard_map`` (e.g. ``frozenset({"z"})``) — shard_map's check_vma
     requires every ``ShapeDtypeStruct`` to declare it.
     """
     nz, py_, n = xp.shape
     assert x0_ext.shape == xp.shape and py_ == n
-    picked = _pick_ext_block(nz, n, t_iters)
+    has_obst = obst_ext is not None
+    picked = _pick_ext_block(nz, n, t_iters,
+                             extra_windows=1.25 if has_obst else 0.0)
     if picked is None:
         return None
     slab, tile_y = picked
@@ -953,29 +1021,32 @@ def jacobi_ext_pallas(xp, x0_ext, a: float, c: float, t_iters: int,
     kernel = functools.partial(
         _ext_jacobi_kernel, nz=nz, n=n, slab=slab, halo=t_iters,
         t_iters=t_iters, a=float(np.float32(a)), inv_c=inv_c, b=b,
-        tile_y=tile_y,
+        tile_y=tile_y, has_obst=has_obst,
     )
+    operands = (walls, xp, x0_ext) + ((obst_ext,) if has_obst else ())
+    scratch = [
+        pltpu.VMEM((p, py, n), jnp.float32),
+        pltpu.VMEM((p, py, n), jnp.float32),
+        pltpu.VMEM((p, py, n), jnp.float32),
+    ]
+    if has_obst:
+        scratch.append(pltpu.VMEM((p, py, n), jnp.int8))
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
     return pl.pallas_call(
         kernel,
         grid=((nz // slab) * n_ty,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (3 if has_obst else 2)
+        ),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=(
             jax.ShapeDtypeStruct((nz, n, n), xp.dtype) if vma is None
             else jax.ShapeDtypeStruct((nz, n, n), xp.dtype, vma=vma)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((p, py, n), jnp.float32),
-            pltpu.VMEM((p, py, n), jnp.float32),
-            pltpu.VMEM((p, py, n), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(walls, xp, x0_ext)
+    )(*operands)

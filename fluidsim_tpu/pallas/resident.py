@@ -115,9 +115,17 @@ def _when_offset(i, *, n: int, slab: int, halo: int, n_slabs: int, emit):
     if n_slabs == 1:
         emit(off_py(0))
         return
-    assert halo <= slab, (
-        f"_when_offset: halo {halo} > slab {slab} clips interior windows"
-    )
+    if halo > slab:
+        # ValueError (not assert — must survive `python -O`): with
+        # halo > slab the interior-slab offset is no longer the static
+        # `halo`, and emitting it would silently corrupt the interior
+        # writes.  The slab choosers (project_advect_fits /
+        # full_step_fits / advect_project_3d_resident's picker) enforce
+        # halo <= slab so product configs fall back to the unfused path
+        # before reaching here.
+        raise ValueError(
+            f"_when_offset: halo {halo} > slab {slab} clips interior windows"
+        )
 
     @pl.when(i == 0)
     def _():
@@ -887,8 +895,16 @@ def advect_project_3d_resident(vel, iters: int, dt: float, *,
     n = vel.shape[-1]
     assert vel.shape == (3, n, n, n)
     halo = window * n_sub
-    slab = next(s for s in (16, 8)
-                if n % s == 0 and s + 2 * halo <= n)
+    # halo <= s: interior slabs are written at the static offset `halo`
+    # (_when_offset) — a clipped interior window would corrupt them.
+    slab = next((s for s in (16, 8)
+                 if n % s == 0 and s + 2 * halo <= n and halo <= s), None)
+    if slab is None:
+        raise ValueError(
+            f"advect_project_3d_resident: no slab in (16, 8) fits "
+            f"n={n}, halo={halo} (need n % slab == 0, slab + 2*halo <= n, "
+            f"halo <= slab)"
+        )
     p = slab + 2 * halo
     dt0 = float(np.float32(dt) * np.float32(n - 2))
     kernel = functools.partial(
@@ -1211,7 +1227,10 @@ def project_advect_fits(n: int, window: int, n_sub: int,
     plane = n * n
     vol = n * plane
     for slab in (32, 16, 8):
-        if n % slab or slab + 2 * halo > n:
+        # halo <= slab: the kernel writes interior slabs at the STATIC
+        # offset `halo` (_when_offset), which requires interior windows
+        # never clip; larger halos must fall back to the unfused path.
+        if n % slab or slab + 2 * halo > n or halo > slab:
             continue
         pw = slab + 2 * halo
         declared = (
@@ -1436,14 +1455,16 @@ def full_step_fits(n: int, window: int, n_sub: int,
     plane = n * n
     vol = n * plane
     base = 4 * vol * field_bytes + 3 * vol * solve_bytes
+    # halo <= slab on both phases: the kernel writes interior slabs at
+    # the STATIC offset `halo` (_when_offset); see project_advect_fits.
     for a_slab in (32, 16, 8):
-        if n % a_slab or a_slab + 2 * halo > n:
+        if n % a_slab or a_slab + 2 * halo > n or halo > a_slab:
             continue
         pa = a_slab + 2 * halo
         awin = 2 * 3 * pa * plane * field_bytes
         a_temps = 28 * pa * plane * 4
         for d_slab in (32, 16, 8):
-            if n % d_slab or d_slab + 2 * halo > n:
+            if n % d_slab or d_slab + 2 * halo > n or halo > d_slab:
                 continue
             pw = d_slab + 2 * halo
             dwin = 2 * (pw + d_slab) * plane * field_bytes

@@ -158,12 +158,19 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
     return run(fields, vel)
 
 
-def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
+def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int,
+               obst_ext=None):
     """One Jacobi update on a halo-extended z-slab ``xp`` of shape
     ``(lz + 2·halo, N, N)``.  Updates every interior plane of the extended
     array (halo planes erode one per sweep — callers run at most ``halo``
     sweeps between exchanges), then rewrites wall faces via
     ``_ext_faces``.
+
+    ``obst_ext``: optional halo-extended obstacle mask — obstacle cells
+    copy the previous iterate (``ops.linsolve.jacobi_3d``'s rule; for the
+    pressure solve, whose iterate starts at 0 in solids, this is
+    copy-through of zero — the coefficient-volume formulation of
+    FluidSim.cs:1209-1211's skip).
     """
     nbr = (
         ((xp[1:-1, 1:-1, 2:] + xp[1:-1, 1:-1, :-2])
@@ -171,6 +178,9 @@ def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int):
         + (xp[2:, 1:-1, 1:-1] + xp[:-2, 1:-1, 1:-1])
     )
     upd = (x0_ext[1:-1, 1:-1, 1:-1] + a * nbr) / c
+    if obst_ext is not None:
+        upd = jnp.where(obst_ext[1:-1, 1:-1, 1:-1], xp[1:-1, 1:-1, 1:-1],
+                        upd)
     out = jax.lax.pad(upd, jnp.asarray(0.0, xp.dtype),
                       [(1, 1, 0), (1, 1, 0), (1, 1, 0)])
     return _ext_faces(b, out, rank, n_dev, halo, lz)
@@ -220,15 +230,21 @@ def _ext_faces(b, out, rank, n_dev, halo: int, lz: int):
 def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
                       mesh: Mesh, axis_name: str = "z", b: int = 0,
                       block_iters: int = 1, backend: str = "auto",
-                      interpret: bool = False):
+                      interpret: bool = False, obst=None):
     """Slab-sharded fixed-rhs Jacobi with explicit halo exchange.
     ``x``/``x0`` are global ``[z, y, x]`` arrays (sharded or not); the
-    result matches the no-obstacle single-device ``jacobi_3d`` for any
+    result matches the single-device ``jacobi_3d`` for any
     ``block_iters`` (a T-deep halo covers the dependency cone of T
     sweeps exactly — see module docstring).
 
     ``b`` selects the wall rule exactly as in ``set_bnd_3d`` (0 scalar,
     1/2/3 = velocity component normal to the x/y/z walls).
+    ``obst``: optional global boolean obstacle mask (``b == 0`` only —
+    the scalar contract has no obstacle mirror): obstacle cells copy the
+    previous iterate, exactly ``ops.linsolve.jacobi_3d``'s rule.  The
+    mask's own T-deep halo is exchanged once (it is round-invariant);
+    the Pallas/RDMA backends carry it as an int8 coefficient window
+    (the resident kernel's formulation — pallas/resident.py).
     ``block_iters`` (T) sets the exchange cadence: T-plane halos every T
     sweeps instead of 1-plane halos every sweep.  Requires
     ``iters % T == 0`` and T ≤ the local slab depth.
@@ -255,6 +271,12 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         raise ValueError(
             f"backend must be auto/xla/pallas/rdma, got {backend!r}"
         )
+    if obst is not None and b != 0:
+        raise ValueError(
+            "jacobi_3d_sharded: obst requires b == 0 (the scalar set_bnd "
+            "contract — velocity components need the obstacle mirror, "
+            "which this solver does not implement)"
+        )
     n_shards = mesh.shape[axis_name]
     lz_global = x.shape[0] // n_shards
     if T > lz_global:
@@ -278,8 +300,12 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         deep_enough = T >= 2
         lane_ok = interpret or n % 128 == 0
         extra = rdma_comm_bytes(T, n) if backend == "rdma" else 0
+        # Obstacles add an int8 mask window + one live f32 coefficient
+        # window-equivalent to the kernel's footprint.
+        extra_w = 1.25 if obst is not None else 0.0
         fits = _pick_ext_block(lz_global + 2 * T, n, T,
-                               extra_bytes=extra) is not None
+                               extra_bytes=extra,
+                               extra_windows=extra_w) is not None
         if backend in ("pallas", "rdma"):
             if not deep_enough:
                 raise ValueError(
@@ -302,19 +328,34 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
         use_pallas = (not use_rdma and deep_enough and lane_ok and fits
                       and (supported or backend == "pallas"))
 
+    in_specs = (spec, spec) + ((spec,) if obst is not None else ())
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(spec, spec), out_specs=spec,
+        in_specs=in_specs, out_specs=spec,
         # The interpret-mode pallas kernel's internal dynamic_slices mix
         # varying and unvarying operands, which the vma checker rejects
         # (its own error message suggests this workaround); the XLA path
         # keeps the check.
         check_vma=not (use_pallas or use_rdma),
     )
-    def run(x_local, x0_local):
+    def run(x_local, x0_local, *rest):
+        obst_local = rest[0] if rest else None
         rank = jax.lax.axis_index(axis_name)
         n_dev = jax.lax.axis_size(axis_name)
         lz = x_local.shape[0]
+
+        # The mask is round-invariant: exchange its T-deep halo ONCE.
+        # int8 transport (bool collectives/DMAs are not supported on
+        # real TPUs; the halo planes past the global edges come back 0 =
+        # fluid, which only touches erosion-garbage planes).
+        obst_i8 = None
+        obst_ext_i8 = None
+        if obst_local is not None:
+            obst_i8 = obst_local.astype(jnp.int8)
+            if not use_rdma:
+                ob, oa = halo_exchange_z(obst_i8, axis_name, T)
+                obst_ext_i8 = jnp.concatenate([ob, obst_i8, oa], axis=0)
 
         if use_rdma:
             from ..pallas.halo_kernel import (
@@ -328,21 +369,28 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
             # Same input contract as the pallas path (set_bnd-consistent
             # wall faces from sweep 1).
             x_local = _ext_faces(b, x_local, rank, n_dev, 0, lz)
-            # Prime the first round's halo and build the rhs's extended
-            # array in ONE RDMA exchange kernel (no XLA collectives
-            # anywhere in the solve); every subsequent round's halo
-            # arrives via the round kernel's own in-kernel RDMA.
-            ext, x0_ext = halo_exchange_rdma(
-                [x_local[None], x0_local[None]], T, axis_name,
+            # Prime the first round's halo and build the rhs's (and
+            # mask's) extended arrays in ONE RDMA exchange kernel (no
+            # XLA collectives anywhere in the solve); every subsequent
+            # round's halo arrives via the round kernel's own in-kernel
+            # RDMA.
+            prime = [x_local[None], x0_local[None]]
+            if obst_i8 is not None:
+                prime.append(obst_i8[None])
+            exts = halo_exchange_rdma(
+                prime, T, axis_name,
                 interpret=interpret, vma=frozenset({axis_name}),
             )
-            ext, x0_ext = ext[0], x0_ext[0]
+            ext, x0_ext = exts[0][0], exts[1][0]
+            if obst_i8 is not None:
+                obst_ext_i8 = exts[2][0]
             for _ in range(iters // T):
                 ext = jacobi_ext_rdma(ext, x0_ext, a, c, T,
                                       wall_lo, wall_hi, b=b,
                                       axis_name=axis_name,
                                       interpret=interpret,
-                                      vma=frozenset({axis_name}))
+                                      vma=frozenset({axis_name}),
+                                      obst_ext=obst_ext_i8)
             return jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
 
         # The rhs never changes: exchange its halo once for all rounds.
@@ -366,13 +414,15 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
             # call site provides them).
             x_local = _ext_faces(b, x_local, rank, n_dev, 0, lz)
 
+        obst_ext = (obst_ext_i8 != 0) if obst_ext_i8 is not None else None
+
         def round_body(_, xl):
             below, above = halo_exchange_z(xl, axis_name, T)
             xp = jnp.concatenate([below, xl, above], axis=0)
 
             def sweep(_, xp):
                 return _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev,
-                                  T, lz)
+                                  T, lz, obst_ext)
 
             xp = jax.lax.fori_loop(0, T, sweep, xp)
             return jax.lax.slice_in_dim(xp, T, T + lz, axis=0)
@@ -398,7 +448,8 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
                 ext = jacobi_ext_pallas(ext, x0_ext, a, c, T,
                                         wall_lo, wall_hi, b=b,
                                         interpret=interpret,
-                                        vma=frozenset({axis_name}))
+                                        vma=frozenset({axis_name}),
+                                        obst_ext=obst_ext_i8)
                 if r + 1 < n_rounds:
                     local = jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
                     below, above = halo_exchange_z(local, axis_name, T)
@@ -411,4 +462,5 @@ def jacobi_3d_sharded(x, x0, a: float, c: float, iters: int,
             return jax.lax.slice_in_dim(ext, T, T + lz, axis=0)
         return jax.lax.fori_loop(0, iters // T, round_body, x_local)
 
-    return run(x, x0)
+    args = (x, x0) + ((obst,) if obst is not None else ())
+    return run(*args)

@@ -78,7 +78,11 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
     * ``"explicit"`` — the pressure solve routes through
       ``parallel.halo.jacobi_3d_sharded``: hand-written ``shard_map`` +
       per-sweep ``ppermute`` edge-plane exchange.  Same numerics (tested).
-      Requires ``enable_obstacle=False``.  ``halo_block_iters=T>1``
+      Obstacle scenes are supported: the solve carries the mask as a
+      coefficient volume (copy-through; the mask's own halo is exchanged
+      once per solve), while advection falls back to the auto-partitioned
+      XLA path (the per-shard advect kernel is obstacle-free).
+      ``halo_block_iters=T>1``
       switches the exchange cadence to the communication-avoiding
       schedule (T-deep halos every T sweeps — identical results, T×
       fewer ICI round-trips; see ``parallel.halo``).  ``halo_backend``
@@ -115,8 +119,6 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
         )
     jacobi_fn = None
     if halo == "explicit":
-        if cfg.enable_obstacle:
-            raise ValueError("halo='explicit' requires enable_obstacle=False")
         if cfg.pressure_solver == "fft":
             raise ValueError(
                 "halo='explicit' replaces the Jacobi pressure solve and "
@@ -124,15 +126,20 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
             )
         from .halo import jacobi_3d_sharded
 
-        def jacobi_fn(p, div, iters):
+        def jacobi_fn(p, div, iters, obst=None):
             return jacobi_3d_sharded(p, div, 1.0, 6.0, iters, mesh,
                                      axis_name, b=0,
                                      block_iters=halo_block_iters,
                                      backend=halo_backend,
-                                     interpret=pallas_interpret)
+                                     interpret=pallas_interpret,
+                                     obst=obst)
 
     advect_fn = None
-    if halo == "explicit" and halo_backend != "xla":
+    # The per-shard advect kernel is obstacle-free (the velocity mirror's
+    # per-substep halo growth blows its window model); obstacle configs
+    # keep the auto-partitioned XLA advection, which handles the mask.
+    if halo == "explicit" and halo_backend != "xla" \
+            and not cfg.enable_obstacle:
         from ..pallas.halo_kernel import _pick_ext_advect
         from ..pallas.jacobi import pallas_supported
 

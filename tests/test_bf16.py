@@ -20,6 +20,9 @@ from fluidsim_tpu.ops.boundary import set_bnd_3d
 from fluidsim_tpu.ops.project import project_3d
 from fluidsim_tpu.scene.sources import apply_custom_source
 from fluidsim_tpu.state import zeros_state
+import pytest
+
+pytestmark = pytest.mark.slow  # bf16 rollouts
 
 
 def cfg3(dtype, n=32):

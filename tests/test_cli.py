@@ -138,3 +138,27 @@ def test_build_engine_advect_substeps_override():
     eng = _build_engine(args)
     assert eng.cfg.advection_scheme == "substep"
     assert eng.cfg.advect_substeps == 1
+
+
+def test_cli_bench_mesh(capsys):
+    """`bench --mesh N` measures the slab-sharded step (BASELINE config 5's
+    reproducible command, VERDICT r2 item 5).  The test mesh reuses the
+    conftest's 8 virtual CPU devices."""
+    lines = run_cli(
+        capsys, "bench", "--preset", "smoke32", "--mesh", "8",
+        "--halo", "explicit", "--halo-block-iters", "2",
+        "--steps", "4", "--substeps", "2",
+    )
+    res = json.loads(lines[-1])
+    assert res["mesh"] == 8
+    assert res["halo"] == "explicit"
+    assert res["steps_per_sec"] > 0
+
+
+def test_cli_bench_mesh_too_many_devices(capsys):
+    lines = run_cli(
+        capsys, "bench", "--preset", "smoke32", "--mesh", "64",
+        "--steps", "2", "--substeps", "1",
+    )
+    res = json.loads(lines[-1])
+    assert "error" in res and "64 devices requested" in res["error"]

@@ -20,6 +20,8 @@ import fluidsim_tpu as fs
 from fluidsim_tpu.config import ObstacleShape, SimConfig
 from fluidsim_tpu.engine import Engine
 
+pytestmark = pytest.mark.slow  # exhaustive config matrix
+
 
 def _random_cfg(rng: random.Random) -> SimConfig:
     ndim = rng.choice((2, 3))

@@ -47,6 +47,7 @@ def test_engine_runs_and_pauses():
     assert int(eng.state.step) == 4
 
 
+@pytest.mark.slow  # >30 s solo; the fast tier keeps sibling coverage
 def test_engine_host_step_counter_tracks_device():
     """_after_dispatch must not fetch the device step scalar (a ~36 ms
     tunnel sync per dispatch); the host counter it uses instead has to
@@ -91,6 +92,7 @@ def test_engine_interaction():
     assert eng.get_source_position() == (16.0, 24.0)
 
 
+@pytest.mark.slow  # >30 s solo; the fast tier keeps sibling coverage
 def test_source_reposition_does_not_retrace():
     """Emitter values are traced operands (VERDICT r1 #3): shift-drag
     repositioning (FluidSim.cs:397-402) must not recompile the step."""
@@ -111,6 +113,7 @@ def test_source_reposition_does_not_retrace():
     assert d[20:, 20:].sum() > d[:12, :12].sum()
 
 
+@pytest.mark.slow  # >30 s solo; the fast tier keeps sibling coverage
 def test_wall_clock_pulse():
     """pulse_clock="wall" drives the pulse from accumulated wall-clock
     frame deltas while unpaused (elapsedTime, FluidSim.cs:394,492-494),
@@ -226,6 +229,7 @@ def test_framerate_ema():
     assert vals[-1] > 99.0
 
 
+@pytest.mark.slow  # >30 s solo; the fast tier keeps sibling coverage
 def test_checkpoint_roundtrip(tmp_path):
     eng = Engine(tiny_cfg(enable_obstacle=True,
                           obstacle_shape=ObstacleShape.CIRCLE))

@@ -24,6 +24,8 @@ from fluidsim_tpu.ops.project import project_3d
 from fluidsim_tpu.scene.sources import apply_custom_source
 from fluidsim_tpu.state import zeros_state
 
+pytestmark = pytest.mark.slow  # 3D oracle rollouts
+
 N = 64
 
 

@@ -16,6 +16,8 @@ from fluidsim_tpu.ops.linsolve import jacobi_3d
 from fluidsim_tpu.pallas.advect import advect_multi_3d_pallas
 from fluidsim_tpu.pallas.jacobi import jacobi_3d_pallas
 
+pytestmark = pytest.mark.slow  # interpreter-mode Pallas suite
+
 
 N = 16  # small: interpreter is slow; blocking picks slab=8, halo=T
 N2 = 32  # y-tiled windows: the 8-aligned y halo needs py ≤ n

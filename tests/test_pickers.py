@@ -29,6 +29,26 @@ def test_advect_pick_none_when_infeasible():
     assert _pick_slab(512, 3, 8, True) is None
 
 
+def test_fused_pickers_reject_halo_larger_than_slab():
+    """Interior slabs are written at the STATIC offset `halo`
+    (resident._when_offset), which requires halo <= slab; the choosers
+    must reject such configs so the engine falls back to the unfused
+    path instead of the kernel raising at trace time (ADVICE r2)."""
+    from fluidsim_tpu.pallas.resident import (
+        full_step_fits,
+        project_advect_fits,
+    )
+
+    # window=3, n_sub=3 → halo=9: feasible only via slab 8 by the old
+    # geometric checks (8 % 40 at n=40... use n=40: slab 8 divides,
+    # 8+18=26 <= 40) — must now return None.
+    assert project_advect_fits(40, 3, 3) is None
+    assert full_step_fits(40, 3, 3) is None
+    # Sanity: the headline configs still pick.
+    assert project_advect_fits(128, 1, 2) is not None
+    assert full_step_fits(128, 1, 2) is not None
+
+
 def test_jacobi_pick_block_returns_ratio():
     pick, ratio = _pick_block(128, 10)
     assert pick == (64, 10, None)

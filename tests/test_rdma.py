@@ -24,9 +24,12 @@ from fluidsim_tpu.parallel.sharding import (
 )
 
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # RDMA interpreter-mode suite (~6 min)
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+]
 
 
 @pytest.mark.parametrize("depth", [1, 3])
@@ -136,6 +139,35 @@ def test_rdma_multi_round_chaining():
                              block_iters=2, backend="rdma",
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(rdma), np.asarray(pal))
+
+
+def test_rdma_jacobi_obstacle_bitwise_equals_pallas_path():
+    """Obstacle copy-through on the RDMA backend: the int8 mask rides the
+    PRIMING exchange kernel (round-invariant; never the per-round RDMA)
+    and every round's coefficient window matches the ppermute-transport
+    pallas backend bitwise.  Input contract: zero in solids (the pressure
+    solve's invariant)."""
+    n = 32
+    idx = np.indices((n, n, n))
+    r2 = sum((i - n / 2.0) ** 2 for i in idx)
+    obst = jnp.asarray(r2 < (n / 5.0) ** 2)
+    x = jax.random.normal(jax.random.PRNGKey(13), (n, n, n), jnp.float32)
+    x = set_bnd_3d(0, jnp.where(obst, 0.0, x), obst)
+    x0 = jax.random.normal(jax.random.PRNGKey(14), (n, n, n), jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+
+    pal = jacobi_3d_sharded(x, x0, 1.0, 6.0, 4, mesh, b=0,
+                            block_iters=2, backend="pallas",
+                            interpret=True, obst=obst)
+    rdma = jacobi_3d_sharded(x, x0, 1.0, 6.0, 4, mesh, b=0,
+                             block_iters=2, backend="rdma",
+                             interpret=True, obst=obst)
+    np.testing.assert_array_equal(np.asarray(rdma), np.asarray(pal))
+
+    single = jacobi_3d(0, x, x0, 1.0, 6.0, obst, iters=4)
+    np.testing.assert_allclose(
+        np.asarray(rdma), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_rdma_backend_validation():

@@ -19,9 +19,12 @@ from fluidsim_tpu.parallel.sharding import (
 from fluidsim_tpu.scene.obstacles import build_obstacle_mask
 
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # 8-device-mesh suite (minutes)
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+]
 
 
 def cfg3d(**kw):
@@ -173,6 +176,98 @@ def test_sharded_self_advect_aliasing(transport):
                                         transport=transport)
     np.testing.assert_array_equal(np.asarray(aliased),
                                   np.asarray(unaliased))
+
+
+def _ball_mask(n):
+    """A centered solid ball (analog of the vortex128 obstacle)."""
+    idx = np.indices((n, n, n))
+    r2 = sum((i - n / 2.0) ** 2 for i in idx)
+    return jnp.asarray(r2 < (n / 5.0) ** 2)
+
+
+def test_sharded_jacobi_obstacle_matches_single_device():
+    """Obstacle copy-through on the sharded XLA backend (the solve's
+    coefficient-volume contract, VERDICT r2 item 4) equals the
+    single-device jacobi_3d with the same mask — per-sweep and deep-halo
+    cadences."""
+    n = 32
+    obst = _ball_mask(n)
+    x = jax.random.normal(jax.random.PRNGKey(8), (n, n, n), jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(9), (n, n, n), jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+
+    single = jacobi_3d(0, x, x0, 1.0, 6.0, obst, iters=20)
+    for T in (1, 4):
+        sharded = jacobi_3d_sharded(x, x0, 1.0, 6.0, 20, mesh, b=0,
+                                    block_iters=T, obst=obst)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_sharded_jacobi_obstacle_requires_b0():
+    mesh = make_mesh(jax.devices()[:8])
+    x = jnp.zeros((32, 32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="b == 0"):
+        jacobi_3d_sharded(x, x, 1.0, 6.0, 20, mesh, b=1,
+                          obst=_ball_mask(32))
+
+
+def test_sharded_jacobi_obstacle_pallas_matches_xla():
+    """The per-shard Pallas kernel's coefficient-volume obstacle path
+    (int8 mask window expanded once per window — the resident kernel's
+    formulation ported per VERDICT r2 item 4) agrees with the sharded
+    XLA copy-through sweep.  Input contract: zero in solids (the
+    pressure solve's invariant — p enters as set_bnd_3d(0, zeros))."""
+    from fluidsim_tpu.ops.boundary import set_bnd_3d
+
+    n = 32
+    obst = _ball_mask(n)
+    x = jax.random.normal(jax.random.PRNGKey(10), (n, n, n), jnp.float32)
+    x = set_bnd_3d(0, jnp.where(obst, 0.0, x), obst)
+    x0 = jax.random.normal(jax.random.PRNGKey(12), (n, n, n), jnp.float32)
+    mesh = make_mesh(jax.devices()[:8])
+
+    ref = jacobi_3d_sharded(x, x0, 1.0, 6.0, 4, mesh, b=0,
+                            block_iters=2, backend="xla", obst=obst)
+    ker = jacobi_3d_sharded(x, x0, 1.0, 6.0, 4, mesh, b=0,
+                            block_iters=2, backend="pallas",
+                            interpret=True, obst=obst)
+    np.testing.assert_allclose(
+        np.asarray(ker), np.asarray(ref), rtol=2e-6, atol=2e-6
+    )
+    # Solids hold exactly zero on both paths.
+    assert float(jnp.abs(jnp.where(obst, ker, 0.0)).max()) == 0.0
+
+
+def test_sharded_step_explicit_obstacle_matches_auto():
+    """The FULL product step on an obstacle scene (vortex-class config)
+    through halo='explicit' — pressure solve with the mask as a
+    copy-through coefficient, advection on the auto-partitioned XLA
+    path — equals the auto path (VERDICT r2 item 4 done-criterion)."""
+    cfg = cfg3d()
+    assert cfg.enable_obstacle
+    obst = jnp.asarray(build_obstacle_mask(cfg))
+    state = fs.zeros_state(cfg, obstacles=obst)
+
+    mesh = make_mesh(jax.devices()[:8])
+    s_auto = shard_state(state, mesh)
+    s_exp = shard_state(state, mesh)
+    step_auto = sharded_step_fn(cfg, mesh, halo="auto")
+    step_exp = sharded_step_fn(cfg, mesh, halo="explicit",
+                               halo_block_iters=2)
+    for _ in range(3):
+        s_auto = step_auto(s_auto)
+        s_exp = step_exp(s_exp)
+
+    np.testing.assert_allclose(
+        np.asarray(s_exp.density), np.asarray(s_auto.density),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_exp.velocity), np.asarray(s_auto.velocity),
+        rtol=1e-5, atol=1e-4,
+    )
 
 
 def test_sharded_jacobi_pallas_backend_validation():

@@ -13,6 +13,8 @@ from fluidsim_tpu.ops.advect import advect_3d, advect_multi_3d
 from fluidsim_tpu.ops.forces import vorticity_confinement_3d
 from fluidsim_tpu.ops.project import project_3d
 
+pytestmark = pytest.mark.slow  # 3D solver rollouts
+
 
 N = 24
 
