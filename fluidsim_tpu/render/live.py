@@ -41,12 +41,30 @@ _PAGE = """<!DOCTYPE html>
  canvas {{ image-rendering:pixelated; width:{disp}px; height:{disp}px;
           border:1px solid #333; margin-top:1em; cursor:crosshair; }}
  .hint {{ color:#888; margin:0.6em; }}
+ /* Menu overlay — MainMenu.uxml:3-9 / main-menu.uss analog: Esc-toggled
+    panel with Enter / Quit / Save (MainMenuEvents.cs:54-61). */
+ #menu {{ position:fixed; inset:0; display:none; align-items:center;
+         justify-content:center; background:rgba(206,140,140,0.9); }}
+ #menu.open {{ display:flex; }}
+ #menu .box {{ display:flex; flex-direction:column; gap:0.6em;
+              align-items:center; color:#2a2a2a; }}
+ #menu h1 {{ font-size:3.2em; margin:0 0 0.3em; }}
+ #menu button {{ width:14em; padding:0.55em; font-size:1.1em;
+                cursor:pointer; }}
+ #menu #save {{ background:#fd0; }}
 </style></head>
 <body>
 <h3>fluidsim_tpu — live ({title})</h3>
 <canvas id="c" width="{size}" height="{size}"></canvas>
 <div class="hint">drag = stir &nbsp;·&nbsp; shift-drag = move emitter
- &nbsp;·&nbsp; space = pause &nbsp;·&nbsp; s = save config</div>
+ &nbsp;·&nbsp; space = pause &nbsp;·&nbsp; s = save config
+ &nbsp;·&nbsp; esc = menu</div>
+<div id="menu"><div class="box">
+ <h1>Main Menu</h1>
+ <button id="enter">Enter</button>
+ <button id="quit">Quit</button>
+ <button id="save">Save</button>
+</div></div>
 <script>
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
@@ -71,7 +89,19 @@ canvas.onmousemove = e => {{
                   : {{type:'drag', prev:prev, cur:cur}});
   prev = cur;
 }};
+// Menu overlay (MainMenuEvents.cs parity): Esc toggles visibility
+// (:54-61); Enter hides it — the sim keeps running behind it, exactly
+// as the reference's (:63-66); Quit ends the application (:68-79);
+// Save persists the configuration (:81-100).
+const menu = document.getElementById('menu');
+document.getElementById('enter').onclick = () => menu.classList.remove('open');
+document.getElementById('quit').onclick = () => {{
+  post({{type:'quit'}});
+  document.body.innerHTML = '<h3>fluidsim_tpu — stopped</h3>';
+}};
+document.getElementById('save').onclick = () => post({{type:'save'}});
 window.onkeydown = e => {{
+  if (e.code === 'Escape') {{ menu.classList.toggle('open'); }}
   if (e.code === 'Space') {{ paused = !paused; post({{type:'pause', paused:paused}}); }}
   if (e.code === 'KeyS') {{ post({{type:'save'}}); }}
 }};
@@ -169,6 +199,14 @@ class LiveServer:
                 self.engine.set_source_position(*pos)
             elif kind == "pause":
                 self.engine.set_paused(bool(ev.get("paused", False)))
+            elif kind == "quit":
+                # The menu's Quit button (MainMenuEvents.cs:68-79,
+                # Application.Quit analog): stop the sim loop and the
+                # HTTP server.  Shutdown runs on a separate thread —
+                # httpd.shutdown() blocks until the serve loop exits,
+                # which must not happen on the handler's own thread.
+                self._running = False
+                threading.Thread(target=self.stop, daemon=True).start()
             elif kind == "save":
                 # The menu's Save button (MainMenuEvents.cs:80-100 →
                 # SaveCurrentConfiguration → SQL.SaveSimRunParams): a
@@ -223,9 +261,10 @@ class LiveServer:
 
     def serve_forever(self):
         self.start()
-        print(f"live viewer: http://127.0.0.1:{self.port}/  (Ctrl-C stops)")
+        print(f"live viewer: http://127.0.0.1:{self.port}/  (Ctrl-C or the "
+              "menu's Quit button stops)")
         try:
-            while True:
-                time.sleep(1)
+            while self._running:
+                time.sleep(0.5)
         except KeyboardInterrupt:
             self.stop()

@@ -105,3 +105,34 @@ def test_live_save_config(tmp_path):
             assert runs >= 2  # engine-start row + saved row
         finally:
             srv.stop()
+
+
+def test_live_menu_overlay_and_quit():
+    """The Esc-toggled menu overlay (MainMenu.uxml:6-8 analog) ships in
+    the served page, and its Quit button's event stops the sim loop and
+    the HTTP server (MainMenuEvents.cs:54-79)."""
+    srv = make_server()
+    base = f"http://127.0.0.1:{srv.port}"
+    _, page = _get(base + "/")
+    # The three menu buttons and the Esc toggle are present in the page.
+    for needle in (b'id="menu"', b'id="enter"', b'id="quit"',
+                   b'id="save"', b"Escape", b"Main Menu"):
+        assert needle in page
+
+    assert _post(base + "/event", {"type": "quit"}) == 200
+    t0 = time.time()
+    while srv._running and time.time() - t0 < 10:
+        time.sleep(0.05)
+    assert not srv._running
+    srv._sim_thread.join(timeout=10)
+    assert not srv._sim_thread.is_alive()
+    # The HTTP server is down: a new request must fail.
+    import urllib.error
+
+    time.sleep(0.2)
+    try:
+        _get(base + "/frame.png")
+        served_after_quit = True
+    except (urllib.error.URLError, ConnectionError, OSError):
+        served_after_quit = False
+    assert not served_after_quit
