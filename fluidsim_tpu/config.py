@@ -220,10 +220,11 @@ class SimConfig:
     # (pallas/resident.project_advect_density_3d_resident): the density
     # backtraces through the projected velocity while it is still in
     # VMEM, saving the advect's full HBM velocity read and one dispatch.
-    # Bitwise-equal to the unfused composition; applies only on the
-    # obstacle-free resident-Pallas path with advection_scheme="substep"
-    # and velocity_damping == 0 (other configs silently keep the unfused
-    # kernels).  Off by default until measured on-chip.
+    # Bitwise-equal to the unfused composition; applies on the
+    # resident-Pallas path with advection_scheme="substep" (static
+    # obstacle masks fold in as coefficient volumes; velocity damping
+    # folds in as the exact post-mirror storage-dtype multiply); other
+    # configs silently keep the unfused kernels.
     fuse_project_advect: bool = False
     # With fuse_project_advect, additionally pull the velocity
     # SELF-advection into the same kernel — the whole hot step (advect →

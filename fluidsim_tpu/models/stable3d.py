@@ -132,16 +132,23 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     # the density backtraces through the projected velocity while it is
     # still VMEM-resident — bitwise the unfused composition.  Gated to
     # the configs whose step dataflow the fusion preserves exactly:
-    # resident-Pallas projection, substep advection, and no velocity
-    # damping (damping scales vel *between* projection and density
-    # advect).  A static obstacle mask is fine for the two-phase fusion
-    # (the projection folds it in as coefficient planes and the density
-    # phase slices the resident mask; b=0 has no obstacle mirror, so the
-    # contract matches any n_sub); the full-step fusion stays
+    # resident-Pallas projection and substep advection.  Velocity damping
+    # (which scales vel *between* projection and density advect) is
+    # FOLDED into the kernels as the exact storage-dtype scalar multiply
+    # after faces+mirror — the XLA composition's order — so damped
+    # configs fuse too.  A static obstacle mask is fine for the two-phase
+    # fusion (the projection folds it in as coefficient planes and the
+    # density phase slices the resident mask; b=0 has no obstacle mirror,
+    # so the contract matches any n_sub); the full-step fusion stays
     # obstacle-free (the velocity mirror's +1-per-substep halo blows its
     # VMEM model).  Density diffusion commutes with the projection
     # (disjoint state), so it runs just before the fused call.
     solve_dtype = (None if cfg.solve_dtype == "float32" else cfg.solve_dtype)
+    # The step's implicit damping factor 1/(1 + dt·k), computed in f32
+    # exactly as the XLA path below does.
+    damp = (float(1.0 / (1.0 + np.float32(dt)
+                         * np.float32(cfg.velocity_damping)))
+            if cfg.velocity_damping != 0.0 else 1.0)
     fused_density = None
     dens_in = None
     fused3 = None
@@ -152,7 +159,6 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         and advect_fn is None
         and cfg.pressure_solver != "fft"
         and cfg.advection_scheme == "substep"
-        and cfg.velocity_damping == 0.0
     )
     if fuse_ok:
         dens_in = (diffuse_3d(0, density, diff, dt, obst, cfg)
@@ -170,6 +176,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype,
                 sweep_block=cfg.jacobi_sweep_block,
+                damp=damp,
             )
 
     if fused3 is None:
@@ -199,6 +206,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype, obst=obst,
                 sweep_block=cfg.jacobi_sweep_block,
+                damp=damp,
             )
             if fused is not None:
                 vel, pressure, fused_density = fused
@@ -214,8 +222,10 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         vel, pressure = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
     # -- velocity damping (implicit Stam-style sink; a scalar multiple
-    #    preserves the just-projected divergence-free field) ------------
-    if cfg.velocity_damping != 0.0:
+    #    preserves the just-projected divergence-free field).  Skipped
+    #    when a fused kernel ran — it already applied the identical
+    #    storage-dtype multiply in-kernel (damp folded above). ----------
+    if cfg.velocity_damping != 0.0 and fused_density is None:
         vel = vel * jnp.asarray(
             1.0 / (1.0 + np.float32(dt) * np.float32(cfg.velocity_damping)),
             vel.dtype,

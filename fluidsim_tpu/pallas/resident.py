@@ -622,7 +622,7 @@ def jacobi_3d_resident(b: int, x, x0, a: float, c: float, iters: int,
 def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
                   sems, *, n: int, iters: int, obst_hbm=None, omask=None,
                   coef=None, vel_resident: bool = False,
-                  sweep_block: int = 1):
+                  sweep_block: int = 1, damp: float = 1.0):
     """Projection dataflow shared by ``_project_kernel`` and the fused
     projection+density-advect kernel: DMA vel (+mask) in, divergence,
     ``iters`` sweeps, gradient subtraction with faces (+obstacle mirror),
@@ -636,7 +636,16 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
     ``vbuf``/``pstag`` carry the storage dtype (float32 or bfloat16 —
     halving HBM traffic for bf16 fields); the solve buffers (pb0/pb1/divb)
     are always float32: the fixed-point iteration accumulates on-chip in
-    full precision and only the HBM crossings are narrow."""
+    full precision and only the HBM crossings are narrow.
+
+    ``damp``: post-projection velocity damping factor (the step's
+    ``1/(1 + dt·velocity_damping)`` implicit sink, stable3d.py).  Applied
+    per component AFTER the face writes and obstacle mirror — exactly the
+    XLA composition's order (project fully, then scale) — and in the
+    STORAGE dtype, so the fused step is bitwise the unfused
+    project→damp→advect sequence.  Folding it here is what lets the
+    fused kernels serve damped configs: the density phase must backtrace
+    through the damped velocity."""
     if not vel_resident:
         in_dma = pltpu.make_async_copy(vel_hbm, vbuf, sems.at[0])
         in_dma.start()
@@ -749,6 +758,11 @@ def _project_body(vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag,
             vbuf[comp] = mirror(
                 vbuf[comp].astype(f32), axis
             ).astype(vbuf.dtype)
+        if damp != 1.0:
+            # Velocity damping, storage-dtype multiply AFTER faces+mirror
+            # — the XLA step's exact order and arithmetic (stable3d.py's
+            # `vel * asarray(damp, vel.dtype)`).
+            vbuf[comp] = vbuf[comp] * jnp.asarray(damp, vbuf.dtype)
         dma = pltpu.make_async_copy(
             vbuf.at[comp], velout_hbm.at[comp], sems.at[2 + comp]
         )
@@ -1024,7 +1038,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                            dsems, *, n: int, iters: int, k_win: int,
                            n_sub: int, dt0: float, slab: int,
                            obst_hbm=None, omask=None, coef=None,
-                           sweep_block: int = 1):
+                           sweep_block: int = 1, damp: float = 1.0):
     """Resident projection + density advection in ONE single-program kernel.
 
     The projection ends with the projected velocity resident in ``vbuf`` —
@@ -1073,7 +1087,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
         n=n, iters=iters, obst_hbm=obst_hbm, omask=omask, coef=coef,
-        sweep_block=sweep_block,
+        sweep_block=sweep_block, damp=damp,
     )
 
     run()
@@ -1087,13 +1101,13 @@ def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
                                 pstag, dwin, dowin, omask, coef, sems,
                                 dsems, *, n: int, iters: int, k_win: int,
                                 n_sub: int, dt0: float, slab: int,
-                                sweep_block: int = 1):
+                                sweep_block: int = 1, damp: float = 1.0):
     _project_advect_kernel(
         vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
         vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems, dsems,
         n=n, iters=iters, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
         obst_hbm=obst_hbm, omask=omask, coef=coef,
-        sweep_block=sweep_block,
+        sweep_block=sweep_block, damp=damp,
     )
 
 
@@ -1251,7 +1265,8 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
                                        *, window: int = 1, n_sub: int = 1,
                                        solve_dtype=None, obst=None,
                                        interpret: bool = False,
-                                       sweep_block: int = 1):
+                                       sweep_block: int = 1,
+                                       damp: float = 1.0):
     """Fused whole-projection-in-VMEM + density advection.
 
     Returns ``(vel', p, density')`` — bitwise equal to
@@ -1306,6 +1321,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
         kernel = functools.partial(
             _project_advect_kernel, n=n, iters=iters, k_win=window,
             n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
+            damp=damp,
         )
         return pl.pallas_call(
             kernel,
@@ -1319,6 +1335,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
     kernel = functools.partial(
         _project_advect_obst_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
+        damp=damp,
     )
     return pl.pallas_call(
         kernel,
@@ -1337,7 +1354,7 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                       vbuf, pb0, pb1, divb, pstag, awin, dwin, dowin,
                       sems, asems, dsems, *, n: int, iters: int, k_win: int,
                       n_sub: int, dt0: float, a_slab: int, d_slab: int,
-                      sweep_block: int = 1):
+                      sweep_block: int = 1, damp: float = 1.0):
     """The whole hot step in ONE grid-less kernel: velocity self-advection
     → resident projection → density advection, as three sequential phases.
 
@@ -1433,6 +1450,7 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     p_dma, out_dmas = _project_body(
         vel_hbm, velout_hbm, p_hbm, vbuf, pb0, pb1, divb, pstag, sems,
         n=n, iters=iters, vel_resident=True, sweep_block=sweep_block,
+        damp=damp,
     )
 
     run_density()
@@ -1478,7 +1496,7 @@ def full_step_fits(n: int, window: int, n_sub: int,
 def full_step_3d_resident(vel, density, iters: int, dt: float,
                           *, window: int = 1, n_sub: int = 1,
                           solve_dtype=None, interpret: bool = False,
-                          sweep_block: int = 1):
+                          sweep_block: int = 1, damp: float = 1.0):
     """Fused self-advection + whole-projection-in-VMEM + density advection
     (obstacle-free) — one kernel per step for the hot loop.
 
@@ -1503,7 +1521,7 @@ def full_step_3d_resident(vel, density, iters: int, dt: float,
     kernel = functools.partial(
         _full_step_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, a_slab=a_slab, d_slab=d_slab,
-        sweep_block=sweep_block,
+        sweep_block=sweep_block, damp=damp,
     )
     return pl.pallas_call(
         kernel,

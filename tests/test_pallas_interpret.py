@@ -502,12 +502,16 @@ def test_fused_project_density_advect_bf16(solve_dtype):
     assert np.isfinite(np.asarray(got_d, np.float32)).all()
 
 
-@pytest.mark.parametrize("diffusion", [0.0, 0.0002])
-def test_step_fuse_project_advect_wiring(monkeypatch, diffusion):
+@pytest.mark.parametrize("diffusion,damping", [
+    (0.0, 0.0), (0.0002, 0.0),
+    (0.0, 3.0),   # velocity damping folded into the fused kernel
+])
+def test_step_fuse_project_advect_wiring(monkeypatch, diffusion, damping):
     """simulate_step_3d with cfg.fuse_project_advect=True produces the
     SAME state as the unfused step on the Pallas path (interpret mode),
     including the reordered density diffusion (diffuse commutes with the
-    projection: disjoint state)."""
+    projection: disjoint state) and the in-kernel velocity damping
+    (bitwise the XLA project→damp→advect order)."""
     import functools
 
     import fluidsim_tpu as fs
@@ -534,6 +538,7 @@ def test_step_fuse_project_advect_wiring(monkeypatch, diffusion):
     cfg = fs.get_preset("smoke32").replace(
         advection_scheme="substep", advect_substeps=2, advect_window=1,
         jacobi_iters=4, diffusion=diffusion, enable_obstacle=False,
+        velocity_damping=damping,
     )
     state = fs.zeros_state(cfg)
     d = jnp.abs(consistent2(0, 150, scale=1.0))
@@ -620,9 +625,11 @@ def test_full_step_kernel_bf16():
     assert np.isfinite(np.asarray(got_d, np.float32)).all()
 
 
-def test_step_fuse_self_advect_wiring(monkeypatch):
+@pytest.mark.parametrize("damping", [0.0, 3.0])
+def test_step_fuse_self_advect_wiring(monkeypatch, damping):
     """simulate_step_3d with cfg.fuse_self_advect=True produces the SAME
-    state as the unfused step on the Pallas path (interpret mode)."""
+    state as the unfused step on the Pallas path (interpret mode),
+    including folded velocity damping."""
     import functools
 
     import fluidsim_tpu as fs
@@ -648,6 +655,7 @@ def test_step_fuse_self_advect_wiring(monkeypatch):
     cfg = fs.get_preset("smoke32").replace(
         advection_scheme="substep", advect_substeps=2, advect_window=1,
         jacobi_iters=4, diffusion=0.0002, enable_obstacle=False,
+        velocity_damping=damping,
     )
     state = fs.zeros_state(cfg)
     d = jnp.abs(consistent2(0, 180, scale=1.0))
@@ -858,11 +866,14 @@ def test_fused_project_density_advect_obstacles(n_sub, window, solve_dtype):
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
 
 
-def test_step_fuse_project_advect_obstacle_wiring(monkeypatch):
+@pytest.mark.parametrize("damping", [0.0, 3.0])
+def test_step_fuse_project_advect_obstacle_wiring(monkeypatch, damping):
     """simulate_step_3d with cfg.fuse_project_advect=True on an OBSTACLE
     config (vortex128's shape: buoyancy + vorticity confinement + static
     mask + substep advection) produces the SAME state as the unfused
-    step on the Pallas path (interpret mode)."""
+    step on the Pallas path (interpret mode) — with and without folded
+    velocity damping (the damp multiply runs after the obstacle mirror,
+    matching the XLA order)."""
     import functools
 
     import fluidsim_tpu as fs
@@ -889,6 +900,7 @@ def test_step_fuse_project_advect_obstacle_wiring(monkeypatch):
 
     cfg = fs.get_preset("vortex128").replace(
         size=N2, jacobi_iters=4, advect_substeps=2, source_radius=2.0,
+        velocity_damping=damping,
     )
     obst = jnp.asarray(build_obstacle_mask(cfg))
     state = fs.zeros_state(cfg, obstacles=obst)
