@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..ops.advect import advect_2d
+from ..ops.advect import advect_2d, advect_2d_pair
 from ..ops.forces import apply_turbulent_noise_2d, enforce_obstacle_boundaries_2d
 from ..ops.linsolve import diffuse_2d
 from ..ops.project import project_2d
@@ -45,8 +45,9 @@ def velocity_step_2d(vel_x, vel_y, obst, dt: float, visc: float, cfg: SimConfig)
     vx0 = diffuse_2d(1, vel_x, visc, dt, obst, cfg)
     vy0 = diffuse_2d(2, vel_y, visc, dt, obst, cfg)
     vx0, vy0, _ = project_2d(vx0, vy0, obst, iters, cfg)
-    vel_x = advect_2d(1, vx0, vx0, vy0, dt, obst)
-    vel_y = advect_2d(2, vy0, vx0, vy0, dt, obst)
+    # One shared backtrace + batched gathers for both components —
+    # bitwise equal to the two separate advect_2d calls (FluidSim.cs:710-711).
+    vel_x, vel_y = advect_2d_pair(vx0, vy0, vx0, vy0, dt, obst)
     vel_x, vel_y, pressure = project_2d(vel_x, vel_y, obst, iters, cfg)
     return vel_x, vel_y, pressure
 

@@ -63,6 +63,52 @@ def advect_2d(b: int, d0, vel_x, vel_y, dt: float, obst):
     return set_bnd_2d(b, out, obst)
 
 
+def advect_2d_pair(d0x, d0y, vel_x, vel_y, dt: float, obst):
+    """Advect the two velocity components with ONE shared backtrace.
+
+    The reference advects vx and vy by the same velocity field in two
+    separate jobs (FluidSim.cs:710-711) — both backtrace from the same
+    ``(vel_x, vel_y)`` with the same dt, so ``(i0, j0, s, t)`` are
+    identical.  Computing them once and gathering a stacked ``[2, n, n]``
+    array turns eight latency-bound gathers into four batched ones (each
+    tap fetches both components per index).  Per-element arithmetic is
+    unchanged — same ops, same order — so the result is bitwise equal to
+    two ``advect_2d`` calls (the parity tests cover the composition).
+
+    Returns ``(vel_x', vel_y')`` with ``set_bnd(1, ·)`` / ``set_bnd(2, ·)``
+    applied.
+    """
+    n = d0x.shape[0]
+    dt0 = np.float32(dt) * np.float32(n - 2)
+
+    cdt = jnp.float32
+    jj, ii = jnp.meshgrid(
+        jnp.arange(n, dtype=cdt), jnp.arange(n, dtype=cdt),
+        indexing="ij",
+    )
+    i0, s1 = _backtrace_1d(ii, vel_x.astype(cdt), dt0, n)
+    j0, t1 = _backtrace_1d(jj, vel_y.astype(cdt), dt0, n)
+    s0 = 1.0 - s1
+    t0 = 1.0 - t1
+    i1 = i0 + 1
+    j1 = j0 + 1
+
+    D = jnp.stack([d0x, d0y])  # [2, n, n]; taps broadcast over the pair
+    val = s0 * (t0 * D[:, j0, i0] + t1 * D[:, j1, i0]) + s1 * (
+        t0 * D[:, j0, i1] + t1 * D[:, j1, i1]
+    )
+
+    outs = []
+    core = (slice(1, -1), slice(1, -1))
+    for b, comp in ((1, val[0]), (2, val[1])):
+        out = jnp.zeros_like(d0x)
+        inner = comp[core].astype(d0x.dtype)
+        out = out.at[core].set(
+            jnp.where(obst[core], jnp.asarray(0.0, d0x.dtype), inner))
+        outs.append(set_bnd_2d(b, out, obst))
+    return outs[0], outs[1]
+
+
 def advect_3d(b: int, d0, vel, dt: float, obst=None, window: int = 0):
     """Trilinear semi-Lagrangian advection on a ``[z, y, x]`` grid.
 

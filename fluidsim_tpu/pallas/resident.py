@@ -69,14 +69,9 @@ def _scaled(s: float, v):
     return v if s == 1.0 else s * v
 
 
-def _write_faces(ref, n: int, sz: float, sy: float, sx: float, c=None):
-    """Materialize the ``apply_faces_3d`` wall faces in-place via slice
-    writes, z→y→x so shared edges/corners take the later write — the same
-    sequential dataflow as the XLA formulation (each pass reads the
-    previous pass's result, healing edge cells from interior values).
-
-    ``c``: optional static leading index when ``ref`` is (3, n, n, n).
-    """
+def _write_faces_zy(ref, n: int, sz: float, sy: float, c=None):
+    """The z and y wall-face slice writes of ``_write_faces`` (measured
+    FREE on-chip — they address whole sublane rows; see _write_faces)."""
     p = () if c is None else (c,)
     a = (slice(None),)
     ref[p + (slice(0, 1),)] = _scaled(sz, ref[p + (slice(1, 2),)])
@@ -85,12 +80,35 @@ def _write_faces(ref, n: int, sz: float, sy: float, sx: float, c=None):
     ref[p + a + (slice(n - 1, n),)] = _scaled(
         sy, ref[p + a + (slice(n - 2, n - 1),)]
     )
+
+
+def _write_faces_x(ref, n: int, sx: float, c=None):
+    """The x (lane-axis) wall-face writes — the EXPENSIVE pair: a
+    1-lane-wide store is a masked read-modify-write of every vreg row
+    (~8 µs/sweep at 128³, 26% of the whole sweep; tools/
+    solve_variants_bench.py).  The solve loop therefore defers these to
+    once-after-the-loop and substitutes the x face rule into the
+    neighbor operands instead (``_nbr_sum_selx``)."""
+    p = () if c is None else (c,)
+    a = (slice(None),)
     ref[p + a + a + (slice(0, 1),)] = _scaled(
         sx, ref[p + a + a + (slice(1, 2),)]
     )
     ref[p + a + a + (slice(n - 1, n),)] = _scaled(
         sx, ref[p + a + a + (slice(n - 2, n - 1),)]
     )
+
+
+def _write_faces(ref, n: int, sz: float, sy: float, sx: float, c=None):
+    """Materialize the ``apply_faces_3d`` wall faces in-place via slice
+    writes, z→y→x so shared edges/corners take the later write — the same
+    sequential dataflow as the XLA formulation (each pass reads the
+    previous pass's result, healing edge cells from interior values).
+
+    ``c``: optional static leading index when ``ref`` is (3, n, n, n).
+    """
+    _write_faces_zy(ref, n, sz, sy, c)
+    _write_faces_x(ref, n, sx, c)
 
 
 def _when_offset(i, *, n: int, slab: int, halo: int, n_slabs: int, emit):
@@ -150,7 +168,15 @@ def _nbr_sum(v):
 
 
 def _rollf(v, shift, axis):
-    """Roll in the stored dtype (narrow VMEM read), accumulate in f32."""
+    """Roll a narrow-dtype operand, accumulating in f32.
+
+    This chip's Mosaic rejects ``tpu.dynamic_rotate`` for any non-32-bit
+    vector (all three axes, measured on-chip), so the upcast happens
+    BEFORE the roll: the VMEM read is still at the stored width — the
+    widening is a register op — and upcasting commutes with rotation
+    bit-for-bit."""
+    if v.dtype != jnp.float32:
+        return _roll(v.astype(jnp.float32), shift, axis)
     return _roll(v, shift, axis).astype(jnp.float32)
 
 
@@ -162,6 +188,54 @@ def _nbr_sum_f32(v):
         (_rollf(v, -1, 2) + _rollf(v, 1, 2))
         + (_rollf(v, -1, 1) + _rollf(v, 1, 1))
     ) + (_rollf(v, -1, 0) + _rollf(v, 1, 0))
+
+
+def _nbr_sum_selx(p, n: int, sx: float, upcast: bool):
+    """6-neighbor sum with the x (lane-axis) face rule substituted into
+    the operands instead of maintained on the iterate.
+
+    Interior cells only ever read *single-extreme* face cells (a stencil
+    neighbor differs in exactly one coordinate), and a single-extreme x
+    face holds exactly ``sx·(adjacent interior)`` after every sweep's
+    ``_write_faces``.  So a sweep that reads a face-maintained iterate is
+    BITWISE equal to one that reads a junk-x-face iterate with the two x
+    operands selected per-lane:
+
+    * ``lo = roll(p, +1, x)`` reads ``p[..., 0]`` at lane 1 → substitute
+      ``sx·p`` there;
+    * ``hi = roll(p, −1, x)`` reads ``p[..., n−1]`` at lane n−2 →
+      substitute ``sx·p`` there.
+
+    The selects are ordinary full-width VPU ops: measured 25.2 vs
+    33.4 µs/iter for the slice-written form at 128³ (the z/y slice
+    writes are free; the x pair is the whole face cost).  Same add order
+    as ``_nbr_sum`` / ``_nbr_sum_f32``; ``upcast`` mirrors the narrow-
+    dtype read semantics (substitute in the stored dtype — negation is
+    exact in bfloat16 — then upcast each operand).
+    """
+    ax = p.ndim - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, p.shape, ax)
+    if upcast:
+        # Narrow iterate: upcast before the lane rotate (Mosaic's
+        # dynamic_rotate is 32-bit only; widening commutes with both the
+        # rotate and the select bit-for-bit, and the VMEM read stays at
+        # the stored width).
+        f32 = jnp.float32
+        pf = p.astype(f32)
+        pxf = _scaled(sx, pf)
+        hi_x = jnp.where(lane == n - 2, pxf, _roll(pf, -1, ax))
+        lo_x = jnp.where(lane == 1, pxf, _roll(pf, 1, ax))
+        return (
+            (hi_x + lo_x)
+            + (_rollf(p, -1, ax - 1) + _rollf(p, 1, ax - 1))
+        ) + (_rollf(p, -1, ax - 2) + _rollf(p, 1, ax - 2))
+    px = _scaled(sx, p)
+    hi_x = jnp.where(lane == n - 2, px, _roll(p, -1, ax))
+    lo_x = jnp.where(lane == 1, px, _roll(p, 1, ax))
+    return (
+        (hi_x + lo_x)
+        + (_roll(p, -1, ax - 1) + _roll(p, 1, ax - 1))
+    ) + (_roll(p, -1, ax - 2) + _roll(p, 1, ax - 2))
 
 
 def _plane_faces(v, axis):
@@ -318,7 +392,11 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         # Narrow (bfloat16) solve buffers: every operand is read at its
         # stored width — halving the sweep's VMEM operand traffic, which
         # is what bounds it — and the arithmetic runs in f32.
-        nbr = _nbr_sum(prev) if f32_solve else _nbr_sum_f32(prev)
+        # The x face rule rides in the operands (_nbr_sum_selx) so the
+        # per-sweep lane-axis face stores — 26% of the sweep on-chip —
+        # are deferred to once-after-the-loop (_write_faces_x at every
+        # return below).  Bitwise the face-maintained form.
+        nbr = _nbr_sum_selx(prev, n=n, sx=sx, upcast=not f32_solve)
         rhs = x0_ref[:].astype(jnp.float32) + (nbr if a == 1.0 else az * nbr)
         # Border obstacle cells are irrelevant either way: faces are
         # rewritten below, matching the XLA oracle's interior-only
@@ -327,7 +405,16 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         if frozen_ref is not None:
             upd = upd + frozen_ref[:]
         dst[:] = upd.astype(dst.dtype)
-        _write_faces(dst, n, sz, sy, sx)
+        _write_faces_zy(dst, n, sz, sy)
+
+    def finish(ref):
+        # Deferred x faces of the final iterate (idempotent where the
+        # last writer was a full-face blockstep/double): x is written
+        # last in _write_faces' z→y→x order, so one post-loop store pair
+        # reproduces the sequential result bit-for-bit — including the
+        # edges/corners it heals from the (maintained) z/y faces.
+        _write_faces_x(ref, n, sx)
+        return ref
 
     use_block = (
         x1_ref is not None and b == 0
@@ -389,7 +476,7 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         for _ in range(iters % block):
             sweep(cur, other)
             cur, other = other, cur
-        return cur
+        return finish(cur)
 
     if use_block:
         a_f = np.float32(a)
@@ -481,8 +568,8 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
             double(pb0, pb1)
         if iters % 2:
             sweep(cur, other)
-            return other
-        return cur
+            return finish(other)
+        return finish(cur)
 
     def two(_, carry):
         sweep(pb0, pb1)
@@ -492,8 +579,8 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
     jax.lax.fori_loop(0, iters // 2, two, 0)
     if iters % 2:
         sweep(pb0, pb1)
-        return pb1
-    return pb0
+        return finish(pb1)
+    return finish(pb0)
 
 
 def _jacobi_kernel(x_hbm, x0_hbm, out_hbm, pb0, pb1, x0s, *rest,

@@ -83,6 +83,24 @@ def test_advect(b):
     np.testing.assert_allclose(got, expected, rtol=2e-6, atol=1e-6)
 
 
+def test_advect_pair_bitwise():
+    """advect_2d_pair must be BITWISE equal to two advect_2d calls."""
+    from fluidsim_tpu.ops.advect import advect_2d_pair
+
+    vx = rand_field(scale=0.8)
+    vy = rand_field(scale=0.8)
+    obst = rand_obstacles()
+    dt = np.float32(0.1)
+    ex = np.asarray(advect_2d(1, jnp.asarray(vx), jnp.asarray(vx),
+                              jnp.asarray(vy), float(dt), jnp.asarray(obst)))
+    ey = np.asarray(advect_2d(2, jnp.asarray(vy), jnp.asarray(vx),
+                              jnp.asarray(vy), float(dt), jnp.asarray(obst)))
+    gx, gy = advect_2d_pair(jnp.asarray(vx), jnp.asarray(vy), jnp.asarray(vx),
+                            jnp.asarray(vy), float(dt), jnp.asarray(obst))
+    np.testing.assert_array_equal(np.asarray(gx), ex)
+    np.testing.assert_array_equal(np.asarray(gy), ey)
+
+
 def test_project():
     vx = rand_field(scale=1.5)
     vy = rand_field(scale=1.5)

@@ -113,6 +113,59 @@ def body_sweep_nofaces(src, dst, x0s):
     dst[:] = (x0s[:] + _nbr_sum(src[:])) * jnp.float32(IC)
 
 
+def _iota(axis):
+    return jax.lax.broadcasted_iota(jnp.int32, (N, N, N), axis)
+
+
+def body_sweep_selects(src, dst, x0s):
+    # No face writes: the neighbor operands substitute the face rule
+    # in-place (interior cells only ever read single-extreme face cells,
+    # whose value equals the adjacent interior plane — see _write_faces).
+    # Bitwise the face-maintained sweep on interior cells; faces hold
+    # junk during the loop and would be written once after it.
+    p = src[:]
+    pairs = []
+    for ax in (0, 1, 2):
+        i = _iota(ax)
+        hi = jnp.where(i == N - 2, p, _roll(p, -1, ax))   # +1 neighbor
+        lo = jnp.where(i == 1, p, _roll(p, 1, ax))        # -1 neighbor
+        pairs.append(hi + lo)
+    nbr = (pairs[2] + pairs[1]) + pairs[0]
+    dst[:] = (x0s[:] + nbr) * jnp.float32(IC)
+
+
+def body_sweep_facez(src, dst, x0s):
+    # Face writes on the (cheap, contiguous) z axis only — isolates how
+    # much of the 6-face cost lives on the y/x (sublane/lane) axes.
+    dst[:] = (x0s[:] + _nbr_sum(src[:])) * jnp.float32(IC)
+    dst[0:1] = dst[1:2]
+    dst[N - 1:N] = dst[N - 2:N - 1]
+
+
+def body_sweep_facezy(src, dst, x0s):
+    dst[:] = (x0s[:] + _nbr_sum(src[:])) * jnp.float32(IC)
+    dst[0:1] = dst[1:2]
+    dst[N - 1:N] = dst[N - 2:N - 1]
+    dst[:, 0:1] = dst[:, 1:2]
+    dst[:, N - 1:N] = dst[:, N - 2:N - 1]
+
+
+def body_sweep_selx(src, dst, x0s):
+    # Hybrid: slice-written z/y faces + select-substituted x (lane) axis.
+    p = src[:]
+    i = _iota(2)
+    hix = jnp.where(i == N - 2, p, _roll(p, -1, 2))
+    lox = jnp.where(i == 1, p, _roll(p, 1, 2))
+    nbr = ((hix + lox)
+           + (_roll(p, -1, 1) + _roll(p, 1, 1))
+           ) + (_roll(p, -1, 0) + _roll(p, 1, 0))
+    dst[:] = (x0s[:] + nbr) * jnp.float32(IC)
+    dst[0:1] = dst[1:2]
+    dst[N - 1:N] = dst[N - 2:N - 1]
+    dst[:, 0:1] = dst[:, 1:2]
+    dst[:, N - 1:N] = dst[:, N - 2:N - 1]
+
+
 def body_block2_toro(src, dst, x0s):
     # x0s doubles as the x1 volume here (perf probe): one iterate read,
     # one x1 read, one write per TWO sweeps — the composite's intended
@@ -173,14 +226,31 @@ def run(name, call):
           f"{per_pass_us:7.2f} us/iter", flush=True)
 
 
+VARIANTS = {
+    "copy": body_copy,
+    "scale": body_scale,
+    "sweep": body_sweep,
+    "sweep_nofaces": body_sweep_nofaces,
+    "sweep_selects": body_sweep_selects,
+    "sweep_facez": body_sweep_facez,
+    "sweep_facezy": body_sweep_facezy,
+    "sweep_selx": body_sweep_selx,
+    "block2_toro": body_block2_toro,
+    "direct19": body_direct19,
+}
+
+
 def main():
-    print(f"n={N} iters={ITERS} reps={REPS}", flush=True)
-    run("copy", make_variant(body_copy))
-    run("scale", make_variant(body_scale))
-    run("sweep", make_variant(body_sweep))
-    run("sweep_nofaces", make_variant(body_sweep_nofaces))
-    run("block2_toro", make_variant(body_block2_toro))
-    run("direct19", make_variant(body_direct19))
+    import os
+    only = os.environ.get("VARIANTS", "")
+    names = ([s for s in only.split(",") if s] if only else
+             ["copy", "scale", "sweep", "sweep_nofaces", "block2_toro",
+              "direct19"])
+    print(f"n={N} iters={ITERS} reps={REPS} variants={names}", flush=True)
+    for name in names:
+        run(name, make_variant(VARIANTS[name]))
+    if only:
+        return
 
     # The PRODUCT composite (with plane corrections), via the real entry.
     from fluidsim_tpu.pallas.resident import jacobi_3d_resident
