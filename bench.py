@@ -167,18 +167,30 @@ def _roofline_probes(jax, jnp) -> dict:
         f = jax.jit(lambda v: v * np.float32(1.000001))
         y = f(x)
         float(y.mean())  # compile + sync
-        reps = 8
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = f(y)
         # Sync via a derived-scalar fetch: block_until_ready was observed
         # to return before the chain completed on this environment's
         # backends; fetching a value computed from the final array cannot.
-        float(y.mean())
-        dt = time.perf_counter() - t0
-        # reps × (read + write) + the mean's final read pass.
+        # That fetch costs one tunnel round trip (~27 ms here) — far more
+        # than the chain itself — so a single-timing probe under-reports
+        # bandwidth ~8×.  Differential timing cancels the constant sync:
+        # run the chain at two rep counts and divide the EXTRA bytes by
+        # the EXTRA time.
+
+        def chain(reps):
+            t0 = time.perf_counter()
+            z = y
+            for _ in range(reps):
+                z = f(z)
+            float(z.mean())
+            return time.perf_counter() - t0
+
+        r_lo, r_hi = 4, 36
+        chain(2)  # warm the dispatch path
+        t_lo = min(chain(r_lo) for _ in range(3))
+        t_hi = min(chain(r_hi) for _ in range(3))
+        # each rep reads + writes the 64 MB array
         probes["hbm_copy_gbps"] = round(
-            (2 * reps + 1) * 4 * nelem / dt / 1e9, 1)
+            2 * (r_hi - r_lo) * 4 * nelem / (t_hi - t_lo) / 1e9, 1)
 
         s = jnp.zeros(())
         g = jax.jit(lambda v: v + 1.0)
