@@ -235,6 +235,19 @@ class SimConfig:
     # Bitwise-equal to the unfused composition; same gates as
     # fuse_project_advect.  Off by default until measured on-chip.
     fuse_self_advect: bool = False
+    # Fold the buoyancy/gravity body force into the velocity
+    # self-advection kernel's window loads (pallas/advect.py ``buoy``):
+    # the standalone XLA force pass — a full velocity read+write per
+    # step that nothing overlaps (measured ~26 µs at 128³, r4) — is
+    # replaced by one density window stream inside the kernel.  Exact
+    # up to XLA FMA contraction (≤1 ulp on the force fused-multiply-add;
+    # contraction clustering differs between program shapes, so even
+    # two jitted runs of the unfolded composition can differ by the
+    # same amount) vs ``advect(buoyancy_force(vel), …)``.  Applies on
+    # the resident-Pallas substep path with f32 fields, no obstacles,
+    # no viscosity/vorticity/pre-projection between the force and the
+    # advection (models/stable3d.py gating); inert elsewhere.
+    fuse_buoyancy: bool = True
 
     # ------------------------------------------------------------------
 

@@ -77,7 +77,27 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     density = state.density
 
     # -- body forces ----------------------------------------------------
-    if cfg.buoyancy != 0.0 or cfg.gravity != 0.0:
+    # fold_buoy: defer the force into the self-advection kernel's window
+    # loads (pallas/advect.py ``buoy``) — the composition below minus the
+    # standalone XLA velocity read+write, exact up to FMA contraction
+    # (≤1 ulp on the force FMA).  Valid only when
+    # nothing acts on the velocity between the force and the advection
+    # (no vorticity/viscosity/pre-projection) and the kernel path runs.
+    has_force = cfg.buoyancy != 0.0 or cfg.gravity != 0.0
+    fold_buoy = (
+        has_force
+        and cfg.fuse_buoyancy
+        and use_pallas
+        and advect_fn is None
+        and obst is None
+        and cfg.vorticity_confinement == 0.0
+        and visc <= 0.0
+        and not cfg.double_project
+        and cfg.advection_scheme == "substep"
+        and not cfg.fuse_self_advect
+        and cfg.dtype == "float32"
+    )
+    if has_force and not fold_buoy:
         vel = buoyancy_force(
             vel, density, dt, cfg.buoyancy, cfg.ambient_density, cfg.gravity
         )
@@ -94,7 +114,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         vel, _ = project_3d(vel, obst, cfg.jacobi_iters, use_pallas)
 
     # -- self-advection (one shared backtrace for all three components) --
-    def advect_fields(bs, fields, velocity):
+    def advect_fields(bs, fields, velocity, buoy=None):
         if advect_fn is not None:
             return advect_fn(bs, fields, velocity, dt)
         if use_pallas:
@@ -103,10 +123,11 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
             if cfg.advection_scheme == "substep":
                 # substeps run entirely inside the kernel (fields stay
                 # in VMEM between sub-advections); obstacles ride along
-                # as an int8 mask window
+                # as an int8 mask window; ``buoy`` folds the body force
+                # into the self-advect window loads (fold_buoy above)
                 return advect_multi_3d_pallas(
                     bs, fields, velocity, dt, obst, window=win,
-                    n_sub=cfg.advect_substeps,
+                    n_sub=cfg.advect_substeps, buoy=buoy,
                 )
             base = lambda b_, f_, v_, d_: advect_multi_3d_pallas(
                 b_, f_, v_, d_, obst, window=win
@@ -180,7 +201,11 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
             )
 
     if fused3 is None:
-        vel = advect_fields((1, 2, 3), vel, vel)
+        vel = advect_fields(
+            (1, 2, 3), vel, vel,
+            buoy=((density, cfg.buoyancy, cfg.ambient_density, cfg.gravity)
+                  if fold_buoy else None),
+        )
 
     # -- pressure projection --------------------------------------------
     if jacobi_fn is not None:

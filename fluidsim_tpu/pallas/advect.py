@@ -257,7 +257,7 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
                    halo: int, dt0: float, n_sub: int, bs, nbuf: int = 1,
                    n_prog: int = 1, fuse_mask: bool = False,
                    has_obst: bool = False, tile_y: int | None = None,
-                   self_adv: bool = False):
+                   self_adv: bool = False, buoy: tuple | None = None):
     """``nbuf=2`` double-buffers across the (sequential) grid programs:
     program i prefetches window i+1's fields+velocity while computing
     window i, and defers each out-DMA's wait to the next reuse of its
@@ -278,16 +278,32 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
     slice shapes/offsets on the sublane dimension to be 8-aligned, and
     extra halo rows are simply more valid data (every formula is
     global-position-based)."""
+    dens_hbm = dbuf = None
     if self_adv:
         # Self-advection (fields IS the velocity): the field windows
         # alias the velocity windows — one DMA stream instead of two
         # identical ones, and nbuf·3 fewer VMEM windows (bigger slabs
         # where the footprint was the binding constraint).
+        # ``buoy=(dt, buoyancy, ambient, gravity)`` additionally folds
+        # the buoyancy body force into the window loads: the density
+        # window rides its own DMA stream and the y velocity component
+        # gets the exact ``ops.forces.buoyancy_force`` FMA before the
+        # backtrace — eliminating the standalone XLA pass (a full
+        # velocity read+write per step, ~26 µs measured at 128³, which
+        # nothing overlaps with) at the cost of one density window read.
         if has_obst:
-            vel_hbm, obst_hbm, out_hbm, vbuf, mbuf, obuf, sems = refs
+            if buoy is not None:
+                (vel_hbm, dens_hbm, obst_hbm, out_hbm,
+                 vbuf, dbuf, mbuf, obuf, sems) = refs
+            else:
+                vel_hbm, obst_hbm, out_hbm, vbuf, mbuf, obuf, sems = refs
         else:
-            vel_hbm, out_hbm, vbuf, obuf, sems = refs
-            obst_hbm = mbuf = None
+            if buoy is not None:
+                vel_hbm, dens_hbm, out_hbm, vbuf, dbuf, obuf, sems = refs
+                obst_hbm = mbuf = None
+            else:
+                vel_hbm, out_hbm, vbuf, obuf, sems = refs
+                obst_hbm = mbuf = None
         fields_hbm, fbuf = None, vbuf
     elif has_obst:
         (fields_hbm, vel_hbm, obst_hbm, out_hbm,
@@ -309,12 +325,21 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
 
     def in_dmas(slot, j):
         _, _, _, _, s, sy, _, _ = origin(j)
+        # The density window of the folded buoyancy reuses sem row 0 —
+        # unused in self-advect mode (no separate fields stream).
         dmas = () if self_adv else (
             pltpu.make_async_copy(
                 fields_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], fbuf.at[slot],
                 sems.at[0, slot],
             ),
         )
+        if dbuf is not None:
+            dmas += (
+                pltpu.make_async_copy(
+                    dens_hbm.at[pl.ds(s, p), pl.ds(sy, py)], dbuf.at[slot],
+                    sems.at[0, slot],
+                ),
+            )
         dmas += (
             pltpu.make_async_copy(
                 vel_hbm.at[:, pl.ds(s, p), pl.ds(sy, py)], vbuf.at[slot],
@@ -373,7 +398,26 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
 
     f32 = jnp.float32
     vel_vals = tuple(vbuf[c].astype(f32) for c in range(3))
-    fields_in = tuple(fbuf[c].astype(f32) for c in range(n_fields))
+    if buoy is not None:
+        # Exact ``ops.forces.buoyancy_force`` dataflow on the window:
+        # accel = b·(ρ − ambient) − g·ρ, v_y += dt·accel — the same f32
+        # expression (including the constant-zero gravity term); the
+        # only deviation from the XLA-composed step is XLA's FMA
+        # contraction clustering (≤1 ulp on the force FMA).  Pointwise,
+        # so halo cells compute the same values their home window does.
+        dtv, b_f, amb, grav = buoy
+        dwin = dbuf.at[slot][...].astype(f32)
+        accel = (jnp.asarray(np.float32(b_f), f32)
+                 * (dwin - jnp.asarray(np.float32(amb), f32))
+                 - jnp.asarray(np.float32(grav), f32) * dwin)
+        vel_vals = (
+            vel_vals[0],
+            vel_vals[1] + jnp.asarray(np.float32(dtv), f32) * accel,
+            vel_vals[2],
+        )
+        fields_in = vel_vals  # self-advect: fields ARE the velocity
+    else:
+        fields_in = tuple(fbuf[c].astype(f32) for c in range(n_fields))
     omask = mbuf.at[slot][...].astype(f32) if has_obst else None
     fields_v = _substep_window_vals(
         fields_in, vel_vals, start=start, n=n, p=p, k_win=k_win,
@@ -450,7 +494,7 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
 
 
 def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
-               self_adv: bool = False):
+               self_adv: bool = False, has_buoy: bool = False):
     """Returns (slab, nbuf, tile_y).  The VMEM model is *total* footprint:
     declared buffers (nbuf·(2F+3) windows, plus nbuf·¼ for the int8 mask)
     plus the kernel's live temporaries + register-allocator spill slots,
@@ -506,9 +550,11 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
                 mask_w = ((nbuf + 6 + (8 if self_adv else 0))
                           if has_obst else 0)
                 # Self-advection aliases the field windows onto the
-                # velocity windows (no separate fields DMA/VMEM).
+                # velocity windows (no separate fields DMA/VMEM).  The
+                # folded-buoyancy density window adds one per buffer.
                 f_in = 0 if self_adv else n_fields
-                need = (nbuf * (f_in + n_fields + 3) + mask_w + 28) * p * plane
+                need = (nbuf * (f_in + n_fields + 3 + (1 if has_buoy else 0))
+                        + mask_w + 28) * p * plane
                 if need > tile_budget or p > n:
                     continue
                 key = (window_cost(p, py, slab, ty, n, tile != n), -nbuf)
@@ -521,10 +567,20 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
 def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
                            window: int = 2, n_sub: int = 1,
                            interpret: bool = False,
-                           force_tile_y: int | None = None):
+                           force_tile_y: int | None = None,
+                           buoy=None):
     """Pallas drop-in for ``ops.advect.advect_multi_3d`` (windowed mode)
     and, with ``n_sub > 1``, for ``advect_substep_3d`` — with or without
     obstacles (the mask rides along as an int8 window).
+
+    ``buoy = (density, buoyancy, ambient, gravity)`` — self-advect calls
+    only — folds ``ops.forces.buoyancy_force`` (with the call's ``dt``)
+    into the kernel's window loads: the step then skips the standalone
+    XLA body-force pass (a full velocity read+write that nothing
+    overlaps — ~26 µs/step measured at 128³) for one extra density
+    window stream.  Matches the ``advect(buoyancy_force(vel), …)``
+    composition exactly up to XLA FMA contraction — ≤1 ulp on the force
+    FMA (tests/test_pallas_interpret.py).
 
     Falls back to the XLA path when unsupported (non-TPU backend, grids
     whose lane dim isn't 128-aligned, or VMEM-infeasible shapes).
@@ -537,11 +593,22 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         advect_substep_3d,
     )
 
+    if buoy is not None:
+        from ..ops.forces import buoyancy_force
+
+        if not (fields is vel and tuple(bs) == (1, 2, 3)):
+            raise ValueError("buoy folding requires a self-advect call")
+
     def xla_fallback():
+        f, v = fields, vel
+        if buoy is not None:
+            dens, b_f, amb, grav = buoy
+            v = buoyancy_force(v, dens, dt, b_f, amb, grav)
+            f = v  # self-advect: the advected fields ARE the velocity
         if n_sub > 1:
-            return advect_substep_3d(bs, fields, vel, dt, obst, window,
+            return advect_substep_3d(bs, f, v, dt, obst, window,
                                      n_sub=n_sub)
-        return advect_multi_3d(bs, fields, vel, dt, obst, window)
+        return advect_multi_3d(bs, f, v, dt, obst, window)
 
     n = fields.shape[-1]
     n_fields = fields.shape[0]
@@ -561,7 +628,8 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     # ones and nbuf·3 fewer VMEM windows, which at 256³ moves the picked
     # slab from 4 to 8 (window redundancy 2.0 → 1.5).
     self_adv = fields is vel and tuple(bs) == (1, 2, 3) and n_fields == 3
-    picked = _pick_slab(n, n_fields, halo, obst_in_kernel, self_adv)
+    picked = _pick_slab(n, n_fields, halo, obst_in_kernel, self_adv,
+                        has_buoy=buoy is not None)
     supported = interpret or (pallas_supported() and n % 128 == 0)
     if not supported or picked is None:
         return xla_fallback()
@@ -573,18 +641,25 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     ty, n_ty, halo_y, py = tile_geometry(n, tile_y, halo)
     dt0 = float(np.float32(dt) * np.float32(n - 2))
 
+    buoy_static = None
+    if buoy is not None:
+        dens, b_f, amb, grav = buoy
+        buoy_static = (float(dt), float(b_f), float(amb), float(grav))
     kernel = functools.partial(
         _advect_kernel, n=n, n_fields=n_fields, slab=slab, k_win=window,
         halo=halo, dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf,
         n_prog=(n // slab) * n_ty, fuse_mask=obst is None,
         has_obst=obst_in_kernel, tile_y=tile_y, self_adv=self_adv,
+        buoy=buoy_static,
     )
-    n_in = (1 if self_adv else 2) + obst_in_kernel
+    n_in = (1 if self_adv else 2) + obst_in_kernel + (buoy is not None)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [] if self_adv else [
         pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
     ]
     scratch.append(pltpu.VMEM((nbuf, 3, p, py, n), vel.dtype))
+    if buoy is not None:
+        scratch.append(pltpu.VMEM((nbuf, p, py, n), buoy[0].dtype))
     if obst_in_kernel:
         scratch.append(pltpu.VMEM((nbuf, p, py, n), jnp.int8))
     scratch += [
@@ -592,6 +667,8 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         pltpu.SemaphoreType.DMA((4 if obst_in_kernel else 3, nbuf)),
     ]
     operands = (() if self_adv else (fields,)) + (vel,) + (
+        (buoy[0],) if buoy is not None else ()
+    ) + (
         (obst.astype(jnp.int8),) if obst_in_kernel else ()
     )
     vals = pl.pallas_call(

@@ -385,6 +385,88 @@ def test_advect_pallas_self_advect_aliasing_obstacles():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(unaliased))
 
 
+def test_advect_pallas_buoy_fold_matches_composition():
+    """``buoy=(density, b, ambient, g)`` folds buoyancy_force into the
+    self-advect kernel's window loads — the fold replays the exact same
+    f32 expression on the window, so the only deviation from the
+    XLA-composed ``advect(buoyancy_force(vel), …)`` is XLA's FMA
+    contraction clustering: ≤1 ulp on the force FMA (verified: the
+    eager and jitted evaluations of buoyancy_force itself already
+    differ by that much), which advection propagates but does not
+    amplify beyond a few ulps."""
+    from fluidsim_tpu.ops.forces import buoyancy_force
+
+    vel = jnp.stack([consistent(b, 70 + b, scale=0.3) for b in (1, 2, 3)])
+    dens = jnp.abs(consistent(0, 77, scale=1.0))
+    dt = 0.03
+    for n_sub, (b_f, amb, grav) in ((1, (0.9, 0.1, 0.0)),
+                                    (2, (0.4, 0.0, 0.2))):
+        ref_v = buoyancy_force(vel, dens, dt, b_f, amb, grav)
+        ref = advect_multi_3d_pallas((1, 2, 3), ref_v, ref_v, dt, None,
+                                     window=1, n_sub=n_sub, interpret=True)
+        got = advect_multi_3d_pallas((1, 2, 3), vel, vel, dt, None,
+                                     window=1, n_sub=n_sub, interpret=True,
+                                     buoy=(dens, b_f, amb, grav))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_step_buoy_fold_wiring(monkeypatch):
+    """simulate_step_3d with cfg.fuse_buoyancy=True (the default) on the
+    Pallas substep path produces the same state as the step with the
+    standalone XLA buoyancy pass (fuse_buoyancy=False) up to FMA
+    contraction on the force (≤1 ulp, then propagated through one
+    advect + projection — still f32-roundoff class)."""
+    import functools
+
+    import fluidsim_tpu as fs
+    import fluidsim_tpu.models.stable3d as s3
+    import fluidsim_tpu.pallas.advect as pa
+    import fluidsim_tpu.pallas.project as pp
+    from fluidsim_tpu.models.stable3d import simulate_step_3d
+
+    monkeypatch.setattr(s3, "_pallas_usable", lambda cfg: True)
+    monkeypatch.setattr(
+        pp, "project_3d_pallas",
+        functools.partial(pp.project_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pp, "project_advect_density_3d_pallas",
+        functools.partial(pp.project_advect_density_3d_pallas,
+                          interpret=True),
+    )
+    monkeypatch.setattr(
+        pa, "advect_multi_3d_pallas",
+        functools.partial(pa.advect_multi_3d_pallas, interpret=True),
+    )
+
+    cfg = fs.get_preset("smoke32").replace(
+        advection_scheme="substep", advect_substeps=1, advect_window=1,
+        jacobi_iters=4, diffusion=0.0, enable_obstacle=False,
+        buoyancy=0.8, fuse_project_advect=True,
+        density_dissipation=5.0, velocity_damping=3.0,
+    )
+    state = fs.zeros_state(cfg)
+    d = jnp.abs(consistent2(0, 180, scale=1.0))
+    v = jnp.stack([consistent2(b, 181 + b, scale=0.3) for b in (1, 2, 3)])
+    state = state.replace(density=d, velocity=v)
+
+    out_fold = simulate_step_3d(state, cfg)
+    out_xla = simulate_step_3d(state, cfg.replace(fuse_buoyancy=False))
+    np.testing.assert_allclose(
+        np.asarray(out_fold.density), np.asarray(out_xla.density),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fold.velocity), np.asarray(out_xla.velocity),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fold.pressure), np.asarray(out_xla.pressure),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def _div_int(vel):
     n = vel.shape[-1]
     d = (jnp.roll(vel[2], -1, 2) - jnp.roll(vel[2], 1, 2)
