@@ -20,16 +20,22 @@ the run before the final print and the round lost its official number):
   fields (headline value, ``p50_step_raymarch_ms``) are produced first and
   optional contenders only run with time to spare.
 
-Method: the bench128 preset (buoyancy + emitter + windowed trilinear
-advection + 60-iter Jacobi projection), stepped in ``lax.scan`` rollouts of
-``SUBSTEPS`` so host dispatch amortizes; timing excludes compilation and
-synchronizes via an on-device scalar fetch.  The headline is the best of
-the bitwise-equal kernel arrangements (preset default / unfused /
-full-step one-kernel); accuracy-class-changing contenders (bf16 solve
-buffers, single-backtrace advection) are measured afterwards into the
-``contenders`` field and never set the headline.  Roofline probes (HBM
-copy bandwidth, host→device sync round trip) are embedded in the JSON so
-the ceiling claim in docs/KERNELS.md is auditable from the artifact alone.
+Method: the bench128 preset (buoyancy + emitter + single semi-Lagrangian
+backtrace + 60-iter Jacobi projection), stepped in ``lax.scan`` rollouts
+of ``SUBSTEPS`` so host dispatch amortizes; timing excludes compilation
+and synchronizes via an on-device scalar fetch.  Since round 4 the scene
+is CFL-bounded by construction (max backtrace displacement measured
+0.736 cells over 3000 steps — tools/validate_bench_scene.py), so the
+preset's single K=1 backtrace is the reference's own advection scheme
+(FluidSim.cs:1523-1576), exact and never window-clamped; the r3 scene
+needed a 2-substep envelope that still clamped.  The headline is the
+best of the same-numerics kernel arrangements (preset default / unfused
+/ full-step one-kernel / buoyancy fold off); different-class contenders
+(bf16 solve buffers, plus the r3-era scene+2-substep arrangement for
+cross-round comparability) are measured afterwards into ``contenders``
+and never set the headline.  Roofline probes (HBM copy bandwidth,
+host→device sync round trip) are embedded in the JSON so the ceiling
+claim in docs/KERNELS.md is auditable from the artifact alone.
 
 Env overrides: ``FLUIDSIM_BENCH_SUBSTEPS``, ``FLUIDSIM_BENCH_TRIALS``,
 ``FLUIDSIM_BENCH_PRESET``, ``FLUIDSIM_BENCH_BUDGET_S``,
@@ -276,12 +282,15 @@ def main() -> None:
 
     base = fs.get_preset(PRESET)
 
-    # -- phase 1: headline variants (bitwise-equal numerics) ------------
+    # -- phase 1: headline variants (same numerics class) ---------------
     # Ordered expected-winner-first so an early kill still records the
-    # best-known arrangement.  The preset default IS the r02 measured
-    # winner (fuse_project_advect); "unfused" is the regression tripwire.
+    # best-known arrangement.  The preset default IS the measured winner
+    # (r3 contender 982.83 steps/s: single backtrace + fuse_project_
+    # advect, now with the buoyancy fold on top); the others are
+    # regression tripwires.
     variants = [
         ("default", base),
+        ("no_buoy_fold", base.replace(fuse_buoyancy=False)),
         ("fuse_full_step", base.replace(fuse_project_advect=True,
                                         fuse_self_advect=True)),
         ("unfused", base.replace(fuse_project_advect=False,
@@ -390,18 +399,16 @@ def main() -> None:
     # -- phase 2: accuracy-class contenders (never set the headline) ----
     # bf16 solve buffers halve the sweep loop's VMEM operand traffic at
     # ~1e-3-relative iterate rounding (same order as the 60-iteration
-    # truncation — config.py solve_dtype note); single-backtrace advection
-    # (n_sub=1, the reference's own scheme FluidSim.cs:1523-1576) halves
-    # the advect work but narrows the CFL envelope to 1 cell.
+    # truncation — config.py solve_dtype note).  legacy_r3_scene is the
+    # EXACT round-3 headline config (fast unbounded scene + 2-substep
+    # 2-cell envelope; 771.75 steps/s in BENCH_r03.json) kept for
+    # cross-round comparability of the per-step cost.
     contenders = [
         ("bf16_solve", base.replace(solve_dtype="bfloat16")),
-        ("bf16_solve+full_step",
-         base.replace(fuse_project_advect=True, fuse_self_advect=True,
-                      solve_dtype="bfloat16")),
-        ("single_backtrace", base.replace(advect_substeps=1)),
-        ("bf16_solve+full_step+single_backtrace",
-         base.replace(fuse_project_advect=True, fuse_self_advect=True,
-                      solve_dtype="bfloat16", advect_substeps=1)),
+        ("legacy_r3_scene", base.replace(
+            time_step=0.03, buoyancy=1.0, source_strength=150.0,
+            density_dissipation=0.0, velocity_damping=0.0,
+            advect_substeps=2)),
     ]
     RESULT.setdefault("contenders", {})
     for name, vcfg in contenders:

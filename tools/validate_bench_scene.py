@@ -22,13 +22,18 @@ import fluidsim_tpu as fs
 from fluidsim_tpu.models.stable3d import simulate_step_3d
 from fluidsim_tpu.scene.sources import apply_custom_source
 
-# Candidate scene: tuned via tools/tune_bench_scene.py (buoy 0.2,
-# strength 20, kd 5, kv 3 measured steady disp ~10 cells at dt=0.03 ->
-# dt=0.002 predicts ~0.67).
+# Candidate scene: tuned via tools/tune_bench_scene.py, then corrected
+# against on-chip validation runs.  Measured: (dt=0.002, strength=20)
+# steady disp ~1.87 cells, spike 2.051; (dt=0.00085, strength=20)
+# steady 1.17, spike 1.214 — NOT linear in dt because the emitter adds
+# strength per STEP (the reference's semantics, FluidSim.cs:723-729),
+# so smaller dt means a denser, more buoyant plume.  Holding the
+# per-time injection fixed (strength ∝ dt) restores linear dt scaling:
+# dt=0.0008, strength=8 predicts steady ~0.75, spike ~0.82.
 CANDIDATE = dict(
-    time_step=0.002,
+    time_step=0.0008,
     buoyancy=0.2,
-    source_strength=20.0,
+    source_strength=8.0,
     density_dissipation=5.0,
     velocity_damping=3.0,
     advect_substeps=1,
