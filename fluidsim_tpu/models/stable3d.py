@@ -170,6 +170,13 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     damp = (float(1.0 / (1.0 + np.float32(dt)
                          * np.float32(cfg.velocity_damping)))
             if cfg.velocity_damping != 0.0 else 1.0)
+    # Density dissipation, folded the same way (a storage-dtype scalar
+    # multiply on the kernel's density out windows after faces — the XLA
+    # composition's exact order/rounding); the standalone multiply below
+    # only runs when no fused kernel applied it.
+    ddamp = (float(1.0 / (1.0 + np.float32(dt)
+                          * np.float32(cfg.density_dissipation)))
+             if cfg.density_dissipation != 0.0 else 1.0)
     fused_density = None
     dens_in = None
     fused3 = None
@@ -197,7 +204,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype,
                 sweep_block=cfg.jacobi_sweep_block,
-                damp=damp,
+                damp=damp, dens_damp=ddamp,
             )
 
     if fused3 is None:
@@ -231,7 +238,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype, obst=obst,
                 sweep_block=cfg.jacobi_sweep_block,
-                damp=damp,
+                damp=damp, dens_damp=ddamp,
             )
             if fused is not None:
                 vel, pressure, fused_density = fused
@@ -263,10 +270,12 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
         if diff > 0.0:
             density = diffuse_3d(0, density, diff, dt, obst, cfg)
         density = advect_fields((0,), density[None], vel)[0]
-    if cfg.density_dissipation != 0.0:
+    if cfg.density_dissipation != 0.0 and fused_density is None:
         # Stam's implicit dissipation: s/(1 + dt·κ) ("Stable Fluids",
-        # density equation sink term).  Fuses into the surrounding XLA
-        # program — measured free next to the Pallas advect.
+        # density equation sink term).  When a fused kernel ran it
+        # already applied the identical storage-dtype multiply on its
+        # density out windows (dens_damp above); this standalone
+        # multiply is the unfused path's full read+write pass.
         density = density * jnp.asarray(
             1.0 / (1.0 + np.float32(dt) * np.float32(cfg.density_dissipation)),
             density.dtype,

@@ -162,7 +162,8 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
                                      solve_dtype=None, obst=None,
                                      interpret: bool = False,
                                      sweep_block: int = 1,
-                                     damp: float = 1.0):
+                                     damp: float = 1.0,
+                                     dens_damp: float = 1.0):
     """Fused resident projection + density advection (optional static
     obstacle mask — the projection folds it into the solve coefficient +
     in-kernel mirror, the density phase slices the resident mask).
@@ -190,14 +191,15 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
     return project_advect_density_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, obst=obst, interpret=interpret,
-        sweep_block=sweep_block, damp=damp,
+        sweep_block=sweep_block, damp=damp, dens_damp=dens_damp,
     )
 
 
 def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
                         window: int = 1, n_sub: int = 1,
                         solve_dtype=None, interpret: bool = False,
-                        sweep_block: int = 1, damp: float = 1.0):
+                        sweep_block: int = 1, damp: float = 1.0,
+                        dens_damp: float = 1.0):
     """Fused self-advection + resident projection + density advection —
     the whole hot step in ONE kernel (obstacle-free).
 
@@ -221,7 +223,7 @@ def full_step_3d_pallas(vel, density, iters: int, dt: float, *,
     return full_step_3d_resident(
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, interpret=interpret,
-        sweep_block=sweep_block, damp=damp,
+        sweep_block=sweep_block, damp=damp, dens_damp=dens_damp,
     )
 
 

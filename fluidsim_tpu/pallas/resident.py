@@ -1125,7 +1125,8 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                            dsems, *, n: int, iters: int, k_win: int,
                            n_sub: int, dt0: float, slab: int,
                            obst_hbm=None, omask=None, coef=None,
-                           sweep_block: int = 1, damp: float = 1.0):
+                           sweep_block: int = 1, damp: float = 1.0,
+                           dens_damp: float = 1.0):
     """Resident projection + density advection in ONE single-program kernel.
 
     The projection ends with the projected velocity resident in ``vbuf`` —
@@ -1166,7 +1167,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     prefetch, run = _density_phase(
         dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems,
         n=n, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
-        omask_ref=omask,
+        omask_ref=omask, dens_damp=dens_damp,
     )
     # Prefetch density window 0 under the projection.
     prefetch()
@@ -1188,19 +1189,20 @@ def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
                                 pstag, dwin, dowin, omask, coef, sems,
                                 dsems, *, n: int, iters: int, k_win: int,
                                 n_sub: int, dt0: float, slab: int,
-                                sweep_block: int = 1, damp: float = 1.0):
+                                sweep_block: int = 1, damp: float = 1.0,
+                                dens_damp: float = 1.0):
     _project_advect_kernel(
         vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
         vbuf, pb0, pb1, divb, pstag, dwin, dowin, sems, dsems,
         n=n, iters=iters, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
         obst_hbm=obst_hbm, omask=omask, coef=coef,
-        sweep_block=sweep_block, damp=damp,
+        sweep_block=sweep_block, damp=damp, dens_damp=dens_damp,
     )
 
 
 def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
                    n: int, k_win: int, n_sub: int, dt0: float, slab: int,
-                   omask_ref=None):
+                   omask_ref=None, dens_damp: float = 1.0):
     """The density-advection phase shared by the fused kernels
     (``_project_advect_kernel``, ``_full_step_kernel``).
 
@@ -1217,7 +1219,17 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
     like the velocity; ``_substep_window_vals`` then applies the full
     b=0 obstacle contract (fresh-zero walls + obstacle cells, then
     faces) per substep *in-values*, so the slice-write face pass is
-    skipped."""
+    skipped.
+
+    ``dens_damp``: Stam's implicit density dissipation ``1/(1 + dt·κ)``
+    folded in as a storage-dtype scalar multiply on each out window
+    after the face writes — the XLA composition's exact order and
+    rounding (``density * jnp.asarray(dens_damp, dtype)``; the face
+    rows are pure copies, so multiplying per-window before the out-DMA
+    is value-identical to multiplying the assembled field).  Saves the
+    standalone multiply's full density read+write per step (~25 µs at
+    128³): the kernel output is opaque to XLA, so the scan body can
+    fuse the trailing multiply with nothing."""
     from .advect import _substep_window_vals
 
     halo = k_win * n_sub
@@ -1299,6 +1311,11 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
             dowin_slot[:, :, 0:1] = dowin_slot[:, :, 1:2]
             dowin_slot[:, :, n - 1:n] = dowin_slot[:, :, n - 2:n - 1]
 
+        if dens_damp != 1.0:
+            dowin_slot[:, :, :] = dowin_slot[:, :, :] * jnp.asarray(
+                dens_damp, dowin.dtype
+            )
+
         dout_dma(slot, i).start()
         return carry
 
@@ -1353,7 +1370,8 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
                                        solve_dtype=None, obst=None,
                                        interpret: bool = False,
                                        sweep_block: int = 1,
-                                       damp: float = 1.0):
+                                       damp: float = 1.0,
+                                       dens_damp: float = 1.0):
     """Fused whole-projection-in-VMEM + density advection.
 
     Returns ``(vel', p, density')`` — bitwise equal to
@@ -1408,7 +1426,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
         kernel = functools.partial(
             _project_advect_kernel, n=n, iters=iters, k_win=window,
             n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
-            damp=damp,
+            damp=damp, dens_damp=dens_damp,
         )
         return pl.pallas_call(
             kernel,
@@ -1422,7 +1440,7 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
     kernel = functools.partial(
         _project_advect_obst_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
-        damp=damp,
+        damp=damp, dens_damp=dens_damp,
     )
     return pl.pallas_call(
         kernel,
@@ -1441,7 +1459,8 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                       vbuf, pb0, pb1, divb, pstag, awin, dwin, dowin,
                       sems, asems, dsems, *, n: int, iters: int, k_win: int,
                       n_sub: int, dt0: float, a_slab: int, d_slab: int,
-                      sweep_block: int = 1, damp: float = 1.0):
+                      sweep_block: int = 1, damp: float = 1.0,
+                      dens_damp: float = 1.0):
     """The whole hot step in ONE grid-less kernel: velocity self-advection
     → resident projection → density advection, as three sequential phases.
 
@@ -1478,6 +1497,7 @@ def _full_step_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     prefetch, run_density = _density_phase(
         dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems,
         n=n, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=d_slab,
+        dens_damp=dens_damp,
     )
     # Density window 0 only touches dens_hbm/dwin — start it under
     # phase A so it is long resident by the time phase C runs.
@@ -1583,7 +1603,8 @@ def full_step_fits(n: int, window: int, n_sub: int,
 def full_step_3d_resident(vel, density, iters: int, dt: float,
                           *, window: int = 1, n_sub: int = 1,
                           solve_dtype=None, interpret: bool = False,
-                          sweep_block: int = 1, damp: float = 1.0):
+                          sweep_block: int = 1, damp: float = 1.0,
+                          dens_damp: float = 1.0):
     """Fused self-advection + whole-projection-in-VMEM + density advection
     (obstacle-free) — one kernel per step for the hot loop.
 
@@ -1608,7 +1629,7 @@ def full_step_3d_resident(vel, density, iters: int, dt: float,
     kernel = functools.partial(
         _full_step_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, a_slab=a_slab, d_slab=d_slab,
-        sweep_block=sweep_block, damp=damp,
+        sweep_block=sweep_block, damp=damp, dens_damp=dens_damp,
     )
     return pl.pallas_call(
         kernel,

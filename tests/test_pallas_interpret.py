@@ -584,16 +584,20 @@ def test_fused_project_density_advect_bf16(solve_dtype):
     assert np.isfinite(np.asarray(got_d, np.float32)).all()
 
 
-@pytest.mark.parametrize("diffusion,damping", [
-    (0.0, 0.0), (0.0002, 0.0),
-    (0.0, 3.0),   # velocity damping folded into the fused kernel
+@pytest.mark.parametrize("diffusion,damping,dissipation", [
+    (0.0, 0.0, 0.0), (0.0002, 0.0, 0.0),
+    (0.0, 3.0, 0.0),   # velocity damping folded into the fused kernel
+    (0.0, 3.0, 5.0),   # + density dissipation folded into the out windows
 ])
-def test_step_fuse_project_advect_wiring(monkeypatch, diffusion, damping):
+def test_step_fuse_project_advect_wiring(monkeypatch, diffusion, damping,
+                                         dissipation):
     """simulate_step_3d with cfg.fuse_project_advect=True produces the
     SAME state as the unfused step on the Pallas path (interpret mode),
     including the reordered density diffusion (diffuse commutes with the
-    projection: disjoint state) and the in-kernel velocity damping
-    (bitwise the XLA project→damp→advect order)."""
+    projection: disjoint state), the in-kernel velocity damping
+    (bitwise the XLA project→damp→advect order), and the in-kernel
+    density dissipation (storage-dtype multiply on the out windows —
+    bitwise the XLA advect→dissipate order)."""
     import functools
 
     import fluidsim_tpu as fs
@@ -620,7 +624,7 @@ def test_step_fuse_project_advect_wiring(monkeypatch, diffusion, damping):
     cfg = fs.get_preset("smoke32").replace(
         advection_scheme="substep", advect_substeps=2, advect_window=1,
         jacobi_iters=4, diffusion=diffusion, enable_obstacle=False,
-        velocity_damping=damping,
+        velocity_damping=damping, density_dissipation=dissipation,
     )
     state = fs.zeros_state(cfg)
     d = jnp.abs(consistent2(0, 150, scale=1.0))
