@@ -240,8 +240,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     import fluidsim_tpu as fs
-    from fluidsim_tpu.models.stable3d import simulate_step_3d
-    from fluidsim_tpu.scene.sources import apply_custom_source
+    from fluidsim_tpu.models.stable3d import emitter_folds, simulate_step_3d
+    from fluidsim_tpu.scene.sources import (
+        apply_custom_source,
+        emitter_fold_operand,
+    )
 
     RESULT["probes"] = _roofline_probes(jax, jnp)
     print(f"# probes: {RESULT['probes']} (t={_elapsed():.0f}s)",
@@ -250,9 +253,16 @@ def main() -> None:
     def build(cfg):
         state = fs.zeros_state(cfg)
         dt = np.float32(cfg.effective_params()[0])
+        fold_src = emitter_folds(cfg)
 
         def one(state, _):
             t = state.time + dt
+            if fold_src:
+                # Folded emitter: the kernels apply the source on their
+                # density window loads (models/stable3d.py ``src``).
+                return simulate_step_3d(
+                    state, cfg, src=emitter_fold_operand(cfg, t)
+                ), None
             density, velocity = apply_custom_source(
                 state.density, state.velocity, cfg, t
             )
@@ -290,6 +300,7 @@ def main() -> None:
     # regression tripwires.
     variants = [
         ("default", base),
+        ("no_src_fold", base.replace(fuse_emitter=False)),
         ("no_buoy_fold", base.replace(fuse_buoyancy=False)),
         ("fuse_full_step", base.replace(fuse_project_advect=True,
                                         fuse_self_advect=True)),
@@ -325,15 +336,21 @@ def main() -> None:
         from fluidsim_tpu.render.raymarch import render_frame_3d
 
         dt = np.float32(cfg.effective_params()[0])
+        fold_src = emitter_folds(cfg)
 
         def one_frame(state, _):
             t = state.time + dt
-            density, velocity = apply_custom_source(
-                state.density, state.velocity, cfg, t
-            )
-            st = simulate_step_3d(
-                state.replace(density=density, velocity=velocity), cfg
-            )
+            if fold_src:
+                st = simulate_step_3d(
+                    state, cfg, src=emitter_fold_operand(cfg, t)
+                )
+            else:
+                density, velocity = apply_custom_source(
+                    state.density, state.velocity, cfg, t
+                )
+                st = simulate_step_3d(
+                    state.replace(density=density, velocity=velocity), cfg
+                )
             return st, render_frame_3d(st, cfg).mean()
 
         CHUNK = 200

@@ -248,6 +248,16 @@ class SimConfig:
     # no viscosity/vorticity/pre-projection between the force and the
     # advection (models/stable3d.py gating); inert elsewhere.
     fuse_buoyancy: bool = True
+    # Fold the main emitter's density add into the kernels' density
+    # window loads (the buoy window of the self-advect kernel + the
+    # fused projection's density phase), skipping the standalone
+    # full-grid XLA add.  The in-window falloff math is gated per
+    # window on ball overlap (``pl.when`` — ungated it measured 15
+    # µs/step slower than the pass it replaces).  Bitwise the composed
+    # step (measured: 1000-step max diff 0.0 on-chip).  Gates as
+    # ``models.stable3d.emitter_folds``; callers must then skip
+    # ``apply_custom_source`` and pass the ``src`` operand.
+    fuse_emitter: bool = True
 
     # ------------------------------------------------------------------
 

@@ -112,8 +112,21 @@ class Engine:
         cfg = self.cfg
         dt = jnp.float32(cfg.effective_params()[0])
 
+        from .models.stable3d import emitter_folds
+        from .scene.sources import emitter_fold_operand
+
+        fold_src = cfg.ndim == 3 and emitter_folds(cfg)
+
         def one(src: SourceParams, state, _):
             t = state.time + dt
+            if fold_src:
+                # Folded emitter: the kernels apply the source on their
+                # density window loads (models/stable3d.py ``src``);
+                # the emitter stays a traced operand, so repositioning
+                # still never retraces.
+                return simulate_step_3d(
+                    state, cfg, src=emitter_fold_operand(cfg, t, params=src)
+                ), None
             density, velocity = apply_custom_source(
                 state.density, state.velocity, cfg, t, params=src
             )

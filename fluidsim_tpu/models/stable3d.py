@@ -59,13 +59,59 @@ def _pallas_usable(cfg: SimConfig) -> bool:
     return ok
 
 
+def emitter_folds(cfg: SimConfig) -> bool:
+    """True when the main emitter's density add folds into the Pallas
+    kernels' density window loads, i.e. the caller should SKIP
+    ``apply_custom_source`` and pass ``src=emitter_fold_operand(cfg, t)``
+    to ``simulate_step_3d`` instead.  Replaces a full-grid density
+    read+write (+ coordinate/falloff math) per step — ~30 µs at 128³
+    that nothing overlaps with.
+
+    Requires: a foldable emitter (``scene.sources.emitter_foldable`` —
+    single 3D density-only source, f32), the fused projection+density-
+    advect arrangement (its windows get the add), no density diffusion
+    (which would read pre-source density), and — when a body force is
+    on — the buoyancy fold (the force must see post-source density).
+    """
+    from ..scene.sources import emitter_foldable
+
+    if not (cfg.fuse_emitter and emitter_foldable(cfg)):
+        return False
+    _, diff, visc = cfg.effective_params()
+    has_force = cfg.buoyancy != 0.0 or cfg.gravity != 0.0
+    return (
+        _pallas_usable(cfg)
+        and cfg.advection_scheme == "substep"
+        and cfg.fuse_project_advect
+        and not cfg.fuse_self_advect
+        and not cfg.enable_obstacle
+        and cfg.pressure_solver != "fft"
+        and diff == 0.0
+        and (not has_force
+             or (cfg.fuse_buoyancy
+                 and cfg.vorticity_confinement == 0.0
+                 and visc <= 0.0
+                 and not cfg.double_project))
+    )
+
+
 def simulate_step_3d(state: FluidState, cfg: SimConfig,
-                     jacobi_fn=None, advect_fn=None) -> FluidState:
+                     jacobi_fn=None, advect_fn=None,
+                     src=None) -> FluidState:
     """One product step.  ``jacobi_fn(p, div, iters)`` optionally overrides
     the pressure solve — the hook the explicit halo-exchange solver
     (parallel/halo.jacobi_3d_sharded) plugs into via ``sharded_step_fn``.
     ``advect_fn(bs, fields, velocity, dt)`` likewise overrides advection
     (the per-shard kernel, parallel/halo.advect_multi_3d_sharded).
+
+    ``src``: folded-emitter descriptor (``emitter_fold_operand``) —
+    only valid when ``emitter_folds(cfg)``; the caller skips
+    ``apply_custom_source`` and the kernels apply the emitter's add on
+    their density window loads instead (the buoyancy fold's window in
+    the self-advect kernel, and the fused projection kernel's density
+    phase).  Should a fused kernel decline at trace time (VMEM), the
+    step falls back to the equivalent full-grid XLA add — physics never
+    silently loses the source.
     """
     dt, diff, visc = cfg.effective_params()
     # Static no-obstacle specialization: passing None removes every
@@ -75,6 +121,16 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     use_pallas = _pallas_usable(cfg)
     vel = state.velocity
     density = state.density
+
+    if src is not None and (jacobi_fn is not None or advect_fn is not None):
+        raise ValueError("src folding is incompatible with solver hooks "
+                         "(sharded paths apply the emitter themselves)")
+    if src is not None and not emitter_folds(cfg):
+        raise ValueError(
+            "src (folded emitter) passed but emitter_folds(cfg) is False "
+            "— the caller must apply apply_custom_source itself for this "
+            "config"
+        )
 
     # -- body forces ----------------------------------------------------
     # fold_buoy: defer the force into the self-advection kernel's window
@@ -124,10 +180,13 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 # substeps run entirely inside the kernel (fields stay
                 # in VMEM between sub-advections); obstacles ride along
                 # as an int8 mask window; ``buoy`` folds the body force
-                # into the self-advect window loads (fold_buoy above)
+                # into the self-advect window loads (fold_buoy above),
+                # and ``src`` folds the emitter into buoy's density
+                # window (the force must see post-source density)
                 return advect_multi_3d_pallas(
                     bs, fields, velocity, dt, obst, window=win,
                     n_sub=cfg.advect_substeps, buoy=buoy,
+                    src=src if buoy is not None else None,
                 )
             base = lambda b_, f_, v_, d_: advect_multi_3d_pallas(
                 b_, f_, v_, d_, obst, window=win
@@ -238,7 +297,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
                 window=win, n_sub=cfg.advect_substeps,
                 solve_dtype=solve_dtype, obst=obst,
                 sweep_block=cfg.jacobi_sweep_block,
-                damp=damp, dens_damp=ddamp,
+                damp=damp, dens_damp=ddamp, src=src,
             )
             if fused is not None:
                 vel, pressure, fused_density = fused
@@ -267,6 +326,12 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     if fused_density is not None:
         density = fused_density  # advected in-kernel with the projection
     else:
+        if src is not None:
+            # Fused kernel declined (VMEM): the emitter the caller
+            # deferred must still land — equivalent full-grid XLA add.
+            from ..scene.sources import src_field_add
+
+            density = src_field_add(density, src, 0)
         if diff > 0.0:
             density = diffuse_3d(0, density, diff, dt, obst, cfg)
         density = advect_fields((0,), density[None], vel)[0]

@@ -257,7 +257,8 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
                    halo: int, dt0: float, n_sub: int, bs, nbuf: int = 1,
                    n_prog: int = 1, fuse_mask: bool = False,
                    has_obst: bool = False, tile_y: int | None = None,
-                   self_adv: bool = False, buoy: tuple | None = None):
+                   self_adv: bool = False, buoy: tuple | None = None,
+                   has_src: bool = False):
     """``nbuf=2`` double-buffers across the (sequential) grid programs:
     program i prefetches window i+1's fields+velocity while computing
     window i, and defers each out-DMA's wait to the next reuse of its
@@ -279,6 +280,11 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
     extra halo rows are simply more valid data (every formula is
     global-position-based)."""
     dens_hbm = dbuf = None
+    src_smem = None
+    if has_src:
+        # Folded-emitter descriptor (scene.sources.emitter_fold_operand):
+        # a (5,) f32 SMEM operand, always the first ref.
+        src_smem, *refs = refs
     if self_adv:
         # Self-advection (fields IS the velocity): the field windows
         # alias the velocity windows — one DMA stream instead of two
@@ -406,6 +412,21 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
         # contraction clustering (≤1 ulp on the force FMA).  Pointwise,
         # so halo cells compute the same values their home window does.
         dtv, b_f, amb, grav = buoy
+        if src_smem is not None:
+            # Folded emitter: the buoyancy must see the post-source
+            # density (the composed step adds the emitter before the
+            # force).  Pointwise in global coordinates, so halo cells
+            # match their home windows.  In-place on the VMEM window
+            # (re-DMA'd every program), gated to windows the ball
+            # intersects — elsewhere the add is exactly +0.0.
+            from ..scene.sources import src_field_add, src_window_hit
+
+            @pl.when(src_window_hit(src_smem, start, p, ystart, py))
+            def _():
+                dw = dbuf.at[slot]
+                dw[...] = src_field_add(
+                    dw[...].astype(f32), src_smem, z0=start, y0=ystart
+                ).astype(dbuf.dtype)
         dwin = dbuf.at[slot][...].astype(f32)
         accel = (jnp.asarray(np.float32(b_f), f32)
                  * (dwin - jnp.asarray(np.float32(amb), f32))
@@ -494,7 +515,8 @@ def _advect_kernel(*refs, n: int, n_fields: int, slab: int, k_win: int,
 
 
 def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
-               self_adv: bool = False, has_buoy: bool = False):
+               self_adv: bool = False, has_buoy: bool = False,
+               has_src: bool = False):
     """Returns (slab, nbuf, tile_y).  The VMEM model is *total* footprint:
     declared buffers (nbuf·(2F+3) windows, plus nbuf·¼ for the int8 mask)
     plus the kernel's live temporaries + register-allocator spill slots,
@@ -553,8 +575,10 @@ def _pick_slab(n: int, n_fields: int, halo: int, has_obst: bool = False,
                 # velocity windows (no separate fields DMA/VMEM).  The
                 # folded-buoyancy density window adds one per buffer.
                 f_in = 0 if self_adv else n_fields
+                # has_src: the in-window emitter falloff's live f32
+                # temporaries (coordinate iotas, distance, falloff).
                 need = (nbuf * (f_in + n_fields + 3 + (1 if has_buoy else 0))
-                        + mask_w + 28) * p * plane
+                        + mask_w + 28 + (4 if has_src else 0)) * p * plane
                 if need > tile_budget or p > n:
                     continue
                 key = (window_cost(p, py, slab, ty, n, tile != n), -nbuf)
@@ -568,7 +592,7 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
                            window: int = 2, n_sub: int = 1,
                            interpret: bool = False,
                            force_tile_y: int | None = None,
-                           buoy=None):
+                           buoy=None, src=None):
     """Pallas drop-in for ``ops.advect.advect_multi_3d`` (windowed mode)
     and, with ``n_sub > 1``, for ``advect_substep_3d`` — with or without
     obstacles (the mask rides along as an int8 window).
@@ -581,6 +605,13 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     window stream.  Matches the ``advect(buoyancy_force(vel), …)``
     composition exactly up to XLA FMA contraction — ≤1 ulp on the force
     FMA (tests/test_pallas_interpret.py).
+
+    ``src`` (requires ``buoy``): folded-emitter descriptor
+    (``scene.sources.emitter_fold_operand``) — the buoyancy's density
+    window additionally gets the emitter's in-window add, so the step
+    can skip the standalone full-grid emitter pass entirely (the
+    fused projection kernel applies the same add to its density
+    windows; ``models.stable3d.emitter_folds`` is the gate).
 
     Falls back to the XLA path when unsupported (non-TPU backend, grids
     whose lane dim isn't 128-aligned, or VMEM-infeasible shapes).
@@ -598,11 +629,17 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
 
         if not (fields is vel and tuple(bs) == (1, 2, 3)):
             raise ValueError("buoy folding requires a self-advect call")
+    if src is not None and buoy is None:
+        raise ValueError("src folding rides the buoy density window")
 
     def xla_fallback():
         f, v = fields, vel
         if buoy is not None:
             dens, b_f, amb, grav = buoy
+            if src is not None:
+                from ..scene.sources import src_field_add
+
+                dens = src_field_add(dens.astype(jnp.float32), src, 0)
             v = buoyancy_force(v, dens, dt, b_f, amb, grav)
             f = v  # self-advect: the advected fields ARE the velocity
         if n_sub > 1:
@@ -629,7 +666,8 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
     # slab from 4 to 8 (window redundancy 2.0 → 1.5).
     self_adv = fields is vel and tuple(bs) == (1, 2, 3) and n_fields == 3
     picked = _pick_slab(n, n_fields, halo, obst_in_kernel, self_adv,
-                        has_buoy=buoy is not None)
+                        has_buoy=buoy is not None,
+                        has_src=src is not None)
     supported = interpret or (pallas_supported() and n % 128 == 0)
     if not supported or picked is None:
         return xla_fallback()
@@ -650,10 +688,12 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         halo=halo, dt0=dt0, n_sub=n_sub, bs=tuple(bs), nbuf=nbuf,
         n_prog=(n // slab) * n_ty, fuse_mask=obst is None,
         has_obst=obst_in_kernel, tile_y=tile_y, self_adv=self_adv,
-        buoy=buoy_static,
+        buoy=buoy_static, has_src=src is not None,
     )
     n_in = (1 if self_adv else 2) + obst_in_kernel + (buoy is not None)
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                if src is not None else []) \
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_in
     scratch = [] if self_adv else [
         pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
     ]
@@ -666,10 +706,11 @@ def advect_multi_3d_pallas(bs, fields, vel, dt: float, obst=None,
         pltpu.VMEM((nbuf, n_fields, p, py, n), fields.dtype),
         pltpu.SemaphoreType.DMA((4 if obst_in_kernel else 3, nbuf)),
     ]
-    operands = (() if self_adv else (fields,)) + (vel,) + (
-        (buoy[0],) if buoy is not None else ()
-    ) + (
-        (obst.astype(jnp.int8),) if obst_in_kernel else ()
+    operands = (
+        ((src,) if src is not None else ())
+        + (() if self_adv else (fields,)) + (vel,)
+        + ((buoy[0],) if buoy is not None else ())
+        + ((obst.astype(jnp.int8),) if obst_in_kernel else ())
     )
     vals = pl.pallas_call(
         kernel,

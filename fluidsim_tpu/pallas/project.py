@@ -163,7 +163,8 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
                                      interpret: bool = False,
                                      sweep_block: int = 1,
                                      damp: float = 1.0,
-                                     dens_damp: float = 1.0):
+                                     dens_damp: float = 1.0,
+                                     src=None):
     """Fused resident projection + density advection (optional static
     obstacle mask — the projection folds it into the solve coefficient +
     in-kernel mirror, the density phase slices the resident mask).
@@ -192,6 +193,7 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
         vel, density, iters, dt, window=window, n_sub=n_sub,
         solve_dtype=solve_dtype, obst=obst, interpret=interpret,
         sweep_block=sweep_block, damp=damp, dens_damp=dens_damp,
+        src=src,
     )
 
 

@@ -1126,7 +1126,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
                            n_sub: int, dt0: float, slab: int,
                            obst_hbm=None, omask=None, coef=None,
                            sweep_block: int = 1, damp: float = 1.0,
-                           dens_damp: float = 1.0):
+                           dens_damp: float = 1.0, src_ref=None):
     """Resident projection + density advection in ONE single-program kernel.
 
     The projection ends with the projected velocity resident in ``vbuf`` —
@@ -1167,7 +1167,7 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     prefetch, run = _density_phase(
         dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems,
         n=n, k_win=k_win, n_sub=n_sub, dt0=dt0, slab=slab,
-        omask_ref=omask, dens_damp=dens_damp,
+        omask_ref=omask, dens_damp=dens_damp, src_ref=src_ref,
     )
     # Prefetch density window 0 under the projection.
     prefetch()
@@ -1182,6 +1182,13 @@ def _project_advect_kernel(vel_hbm, dens_hbm, velout_hbm, p_hbm, densout_hbm,
     p_dma.wait()
     for dma in out_dmas:
         dma.wait()
+
+
+def _project_advect_src_kernel(src_smem, *refs, **kw):
+    """``_project_advect_kernel`` with the folded-emitter descriptor as
+    a leading (5,) f32 SMEM operand (obstacle-free configs only —
+    stable3d's ``emitter_folds`` gate)."""
+    _project_advect_kernel(*refs, src_ref=src_smem, **kw)
 
 
 def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
@@ -1202,7 +1209,7 @@ def _project_advect_obst_kernel(vel_hbm, dens_hbm, obst_hbm, velout_hbm,
 
 def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
                    n: int, k_win: int, n_sub: int, dt0: float, slab: int,
-                   omask_ref=None, dens_damp: float = 1.0):
+                   omask_ref=None, dens_damp: float = 1.0, src_ref=None):
     """The density-advection phase shared by the fused kernels
     (``_project_advect_kernel``, ``_full_step_kernel``).
 
@@ -1229,7 +1236,13 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
     is value-identical to multiplying the assembled field).  Saves the
     standalone multiply's full density read+write per step (~25 µs at
     128³): the kernel output is opaque to XLA, so the scan body can
-    fuse the trailing multiply with nothing."""
+    fuse the trailing multiply with nothing.
+
+    ``src_ref``: folded-emitter descriptor ((5,) f32 SMEM ref —
+    ``scene.sources.emitter_fold_operand``).  Each density window gets
+    the emitter's add at load (``src_field_add`` in global
+    coordinates), replacing the step's standalone full-grid emitter
+    pass; pointwise, so halo cells match their home windows."""
     from .advect import _substep_window_vals
 
     halo = k_win * n_sub
@@ -1273,6 +1286,18 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
         vel_vals = tuple(
             vbuf.at[c][pl.ds(start, pw)].astype(f32) for c in range(3)
         )
+        if src_ref is not None:
+            from ..scene.sources import src_field_add, src_window_hit
+
+            # In-place add on the VMEM window (re-DMA'd every slab, so
+            # mutation is safe), gated to windows the ball intersects —
+            # outside them the add is exactly +0.0.
+            @pl.when(src_window_hit(src_ref, start, pw))
+            def _():
+                dw = dwin.at[slot]
+                dw[...] = src_field_add(
+                    dw[...].astype(f32), src_ref, z0=start
+                ).astype(dwin.dtype)
         dval = (dwin.at[slot][...].astype(f32),)
         om = (omask_ref[pl.ds(start, pw)].astype(f32)
               if omask_ref is not None else None)
@@ -1371,7 +1396,8 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
                                        interpret: bool = False,
                                        sweep_block: int = 1,
                                        damp: float = 1.0,
-                                       dens_damp: float = 1.0):
+                                       dens_damp: float = 1.0,
+                                       src=None):
     """Fused whole-projection-in-VMEM + density advection.
 
     Returns ``(vel', p, density')`` — bitwise equal to
@@ -1424,19 +1450,24 @@ def project_advect_density_3d_resident(vel, density, iters: int, dt: float,
     ]
     if obst is None:
         kernel = functools.partial(
-            _project_advect_kernel, n=n, iters=iters, k_win=window,
+            _project_advect_src_kernel if src is not None
+            else _project_advect_kernel,
+            n=n, iters=iters, k_win=window,
             n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,
             damp=damp, dens_damp=dens_damp,
         )
         return pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      if src is not None else [])
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
             scratch_shapes=scratch + [
                 pltpu.SemaphoreType.DMA((5,)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
             **common,
-        )(vel, density)
+        )(*(((src,) if src is not None else ()) + (vel, density)))
+    assert src is None, "src folding requires an obstacle-free config"
     kernel = functools.partial(
         _project_advect_obst_kernel, n=n, iters=iters, k_win=window,
         n_sub=n_sub, dt0=dt0, slab=slab, sweep_block=sweep_block,

@@ -467,6 +467,109 @@ def test_step_buoy_fold_wiring(monkeypatch):
     )
 
 
+def test_src_field_add_matches_apply_one():
+    """``src_field_add`` on a full grid replays ``_apply_one``'s density
+    add (same f32 coordinate/falloff dataflow) from the packed
+    ``emitter_fold_operand`` descriptor."""
+    import fluidsim_tpu as fs
+    from fluidsim_tpu.scene.sources import (
+        apply_custom_source,
+        emitter_fold_operand,
+        src_field_add,
+    )
+
+    cfg = fs.get_preset("smoke32").replace(
+        enable_custom_source=True, source_strength=9.0, source_radius=4.0,
+        source_position=(0.4, 0.2, 0.6), source_emits_velocity=False,
+    )
+    dens = jnp.abs(consistent2(0, 190, scale=1.0))
+    vel = jnp.stack([consistent2(b, 191 + b, scale=0.3) for b in (1, 2, 3)])
+    t = jnp.float32(0.7)
+    ref_d, ref_v = apply_custom_source(dens, vel, cfg, t)
+    got = src_field_add(dens, emitter_fold_operand(cfg, t), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_d),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(vel))
+
+    # Windowed evaluation with a traced z origin matches the full-grid
+    # slice (global-coordinate pointwise math).
+    op = emitter_fold_operand(cfg, t)
+    win = src_field_add(dens[8:24], op, z0=jnp.int32(8))
+    np.testing.assert_array_equal(np.asarray(win),
+                                  np.asarray(got[8:24]))
+
+
+def test_step_emitter_fold_wiring(monkeypatch):
+    """simulate_step_3d with the ``src`` folded-emitter operand (and the
+    emitter skipped by the caller) matches apply_custom_source followed
+    by the plain step — covering both in-kernel apply sites (the buoy
+    density window in the self-advect kernel, the fused projection's
+    density phase) up to FMA-contraction rounding."""
+    import functools
+
+    import fluidsim_tpu as fs
+    import fluidsim_tpu.models.stable3d as s3
+    import fluidsim_tpu.pallas.advect as pa
+    import fluidsim_tpu.pallas.project as pp
+    from fluidsim_tpu.models.stable3d import emitter_folds, simulate_step_3d
+    from fluidsim_tpu.scene.sources import (
+        apply_custom_source,
+        emitter_fold_operand,
+    )
+
+    monkeypatch.setattr(s3, "_pallas_usable", lambda cfg: True)
+    monkeypatch.setattr(
+        pp, "project_3d_pallas",
+        functools.partial(pp.project_3d_pallas, interpret=True),
+    )
+    monkeypatch.setattr(
+        pp, "project_advect_density_3d_pallas",
+        functools.partial(pp.project_advect_density_3d_pallas,
+                          interpret=True),
+    )
+    monkeypatch.setattr(
+        pa, "advect_multi_3d_pallas",
+        functools.partial(pa.advect_multi_3d_pallas, interpret=True),
+    )
+
+    for buoyancy in (0.8, 0.0):
+        cfg = fs.get_preset("smoke32").replace(
+            advection_scheme="substep", advect_substeps=1, advect_window=1,
+            jacobi_iters=4, diffusion=0.0, enable_obstacle=False,
+            buoyancy=buoyancy, fuse_project_advect=True,
+            density_dissipation=5.0, velocity_damping=3.0,
+            enable_custom_source=True, source_strength=7.0,
+            source_radius=5.0, source_position=(0.5, 0.3, 0.5),
+            source_emits_velocity=False,
+        )
+        assert emitter_folds(cfg)
+        state = fs.zeros_state(cfg)
+        d = jnp.abs(consistent2(0, 200, scale=1.0))
+        v = jnp.stack([consistent2(b, 201 + b, scale=0.3)
+                       for b in (1, 2, 3)])
+        state = state.replace(density=d, velocity=v)
+        t = state.time + jnp.float32(cfg.effective_params()[0])
+
+        out_fold = simulate_step_3d(
+            state, cfg, src=emitter_fold_operand(cfg, t)
+        )
+        rd, rv = apply_custom_source(state.density, state.velocity, cfg, t)
+        out_ref = simulate_step_3d(state.replace(density=rd, velocity=rv),
+                                   cfg)
+        np.testing.assert_allclose(
+            np.asarray(out_fold.density), np.asarray(out_ref.density),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fold.velocity), np.asarray(out_ref.velocity),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fold.pressure), np.asarray(out_ref.pressure),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def _div_int(vel):
     n = vel.shape[-1]
     d = (jnp.roll(vel[2], -1, 2) - jnp.roll(vel[2], 1, 2)
