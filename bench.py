@@ -128,15 +128,20 @@ def _probe_backend() -> bool:
     hang at first backend init, so a dead tunnel would stall this process
     forever at the first jax call.  Probing in a subprocess — which
     ``subprocess.run`` SIGKILLs on timeout — lets the bench fail fast.
-    The tunnel also *flaps* (comes back after minutes), so the probe
-    retries until 40% of the budget is spent.
+    The tunnel also *flaps* (outages observed from minutes to hours, with
+    recovery mid-run), so the probe retries until only ~3 minutes of
+    budget remain: with the persistent compile cache warm, the headline
+    measurement itself needs ~110 s (BENCH_r03: default landed at
+    t=113 s), so a late recovery still converts into an official number
+    where the round-4 first attempt — which gave up at 40% of budget —
+    recorded only an error JSON.
     """
     import subprocess
 
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((4,4)).sum()))"
     # A COLD `import jax` on this box takes ~50 s (measured; warm ~4 s),
     # so the per-attempt timeout floor must exceed it.
-    probe_deadline = max(min(0.4 * BUDGET_S, 600.0), 130.0)
+    probe_deadline = max(BUDGET_S - 180.0, 130.0)
     attempt = 0
     while True:
         attempt += 1
@@ -246,9 +251,20 @@ def main() -> None:
         emitter_fold_operand,
     )
 
-    RESULT["probes"] = _roofline_probes(jax, jnp)
-    print(f"# probes: {RESULT['probes']} (t={_elapsed():.0f}s)",
-          file=sys.stderr, flush=True)
+    probes_done = False
+
+    def maybe_probes():
+        # Roofline probes (~40 s) run AFTER the first headline
+        # measurement: they are audit fields, and a late tunnel
+        # recovery must spend its remaining budget on the required
+        # metric first (round-4 lesson).
+        nonlocal probes_done
+        if probes_done or _remaining() < 120.0:
+            return
+        probes_done = True
+        RESULT["probes"] = _roofline_probes(jax, jnp)
+        print(f"# probes: {RESULT['probes']} (t={_elapsed():.0f}s)",
+              file=sys.stderr, flush=True)
 
     def build(cfg):
         state = fs.zeros_state(cfg)
@@ -407,11 +423,13 @@ def main() -> None:
             # p50 lands right after the first successful measurement —
             # it is a required artifact field, not an optional extra.
             maybe_p50(best_cfg, best_state)
+            maybe_probes()
 
     if best == 0.0:
         RESULT["error"] = "every variant failed to measure"
         sys.exit(_emit())
     maybe_p50(best_cfg, best_state)
+    maybe_probes()
 
     # -- phase 2: accuracy-class contenders (never set the headline) ----
     # bf16 solve buffers halve the sweep loop's VMEM operand traffic at
