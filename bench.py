@@ -29,8 +29,9 @@ is CFL-bounded by construction (max backtrace displacement measured
 preset's single K=1 backtrace is the reference's own advection scheme
 (FluidSim.cs:1523-1576), exact and never window-clamped; the r3 scene
 needed a 2-substep envelope that still clamped.  The headline is the
-best of the same-numerics kernel arrangements (preset default / unfused
-/ full-step one-kernel / buoyancy fold off); different-class contenders
+best of the same-numerics kernel arrangements (preset default / emitter
+fold on / buoyancy fold off / full-step one-kernel / unfused);
+different-class contenders
 (bf16 solve buffers, plus the r3-era scene+2-substep arrangement for
 cross-round comparability) are measured afterwards into ``contenders``
 and never set the headline.  Roofline probes (HBM copy bandwidth,
@@ -316,7 +317,10 @@ def main() -> None:
     # regression tripwires.
     variants = [
         ("default", base),
-        ("no_src_fold", base.replace(fuse_emitter=False)),
+        # The emitter fold measured a LOSS in this harness (BENCH_r04:
+        # 949.64 on vs 1000.76 off) and was demoted to opt-in; kept as
+        # a tripwire in case a toolchain update flips it back.
+        ("src_fold", base.replace(fuse_emitter=True)),
         ("no_buoy_fold", base.replace(fuse_buoyancy=False)),
         ("fuse_full_step", base.replace(fuse_project_advect=True,
                                         fuse_self_advect=True)),

@@ -257,7 +257,16 @@ class SimConfig:
     # step (measured: 1000-step max diff 0.0 on-chip).  Gates as
     # ``models.stable3d.emitter_folds``; callers must then skip
     # ``apply_custom_source`` and pass the ``src`` operand.
-    fuse_emitter: bool = True
+    # OFF by default — measured a LOSS in the full bench harness
+    # (BENCH_r04: fold on 949.64 vs off 1000.76 steps/s; the quick A/B
+    # that motivated the gate did not survive the 3-trial measurement):
+    # the per-window overlap predicate + the hit windows' iota/sqrt
+    # falloff math cost more VPU time inside the serialized kernel
+    # stream than the ~30 µs standalone XLA add they replace, which the
+    # scan can overlap with kernel DMA.  Kept as an opt-in (bench.py
+    # measures it as the ``src_fold`` tripwire) — bitwise-equal, so
+    # re-promotion is a one-line flip if a future toolchain wins it.
+    fuse_emitter: bool = False
 
     # ------------------------------------------------------------------
 

@@ -537,6 +537,9 @@ def test_step_emitter_fold_wiring(monkeypatch):
             advection_scheme="substep", advect_substeps=1, advect_window=1,
             jacobi_iters=4, diffusion=0.0, enable_obstacle=False,
             buoyancy=buoyancy, fuse_project_advect=True,
+            # The fold is opt-in since BENCH_r04 measured it a loss in
+            # the bench harness; numerics stay covered here.
+            fuse_emitter=True,
             density_dissipation=5.0, velocity_damping=3.0,
             enable_custom_source=True, source_strength=7.0,
             source_radius=5.0, source_position=(0.5, 0.3, 0.5),
