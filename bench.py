@@ -55,7 +55,13 @@ import time
 
 import numpy as np
 
-SUBSTEPS = int(os.environ.get("FLUIDSIM_BENCH_SUBSTEPS", 1000))
+# 3000-step rollouts: the only per-trial host cost is ONE on-device
+# scalar fetch (~26 ms through this tunnel — sync_roundtrip_ms probe),
+# i.e. 12.9 µs/step of measurement artifact at 1000-step rollouts and
+# 4.3 µs/step at 3000 (a real v5e host sync is ~100 µs total).  The
+# bench scene is steady-state bounded (tools/validate_bench_scene.py),
+# so longer rollouts change amortization, not physics.
+SUBSTEPS = int(os.environ.get("FLUIDSIM_BENCH_SUBSTEPS", 3000))
 TRIALS = int(os.environ.get("FLUIDSIM_BENCH_TRIALS", 3))
 PRESET = os.environ.get("FLUIDSIM_BENCH_PRESET", "bench128")
 BUDGET_S = float(os.environ.get("FLUIDSIM_BENCH_BUDGET_S", 1200))
