@@ -396,7 +396,16 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
         # per-sweep lane-axis face stores — 26% of the sweep on-chip —
         # are deferred to once-after-the-loop (_write_faces_x at every
         # return below).  Bitwise the face-maintained form.
-        nbr = _nbr_sum_selx(prev, n=n, sx=sx, upcast=not f32_solve)
+        # OBSTACLE solves keep the maintained-face sweep: with the coef
+        # volume as a third full-volume operand, the selx form's extra
+        # live values (lane iota + two selected operands) push Mosaic's
+        # register allocator into a ~74 MB spill and the kernel exceeds
+        # VMEM outright at 128³ (found via vortex128, r4) — the slice-
+        # written x faces keep the loop body two-operand and compile.
+        if coef_ref is None:
+            nbr = _nbr_sum_selx(prev, n=n, sx=sx, upcast=not f32_solve)
+        else:
+            nbr = (_nbr_sum(prev) if f32_solve else _nbr_sum_f32(prev))
         rhs = x0_ref[:].astype(jnp.float32) + (nbr if a == 1.0 else az * nbr)
         # Border obstacle cells are irrelevant either way: faces are
         # rewritten below, matching the XLA oracle's interior-only
@@ -406,6 +415,12 @@ def _solve_loop(x0_ref, pb0, pb1, *, n: int, b: int, a: float, inv_c: float,
             upd = upd + frozen_ref[:]
         dst[:] = upd.astype(dst.dtype)
         _write_faces_zy(dst, n, sz, sy)
+        if coef_ref is not None:
+            # Maintained x faces (see above): the deferred form's
+            # substitution contract requires them absent; writing them
+            # per sweep restores the pre-deferral dataflow bit-for-bit
+            # (finish()'s post-loop x write is then idempotent).
+            _write_faces_x(dst, n, sx)
 
     def finish(ref):
         # Deferred x faces of the final iterate (idempotent where the
