@@ -147,26 +147,62 @@ def _probe_backend() -> bool:
 
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((4,4)).sum()))"
     # A COLD `import jax` on this box takes ~50 s (measured; warm ~4 s),
-    # so the per-attempt timeout floor must exceed it.
-    probe_deadline = max(BUDGET_S - 180.0, 130.0)
+    # so the per-attempt timeout floor must exceed it.  The deadline
+    # reserves ~240 s after probe success for the headline itself
+    # (cache-warm it lands in ~110-115 s — BENCH_r03) so a
+    # latest-possible tunnel recovery still converts into an official
+    # number instead of racing the watchdog (round-4 ADVICE: the old
+    # BUDGET_S-180 deadline let a 150 s attempt succeed at
+    # BUDGET_S-111 s, inside the headline's own window).
+    probe_deadline = max(BUDGET_S - 240.0, min(130.0, 0.5 * BUDGET_S))
     attempt = 0
     while True:
         attempt += 1
+        # Cap the attempt so a SUCCESS cannot land past the deadline;
+        # the >= 90 s floor is guaranteed by the retry gate below
+        # (except the guaranteed first attempt on tiny budgets).
+        attempt_timeout = max(90.0, min(150.0, probe_deadline - _elapsed()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
-                timeout=max(90.0, min(150.0, probe_deadline - _elapsed())),
+                timeout=attempt_timeout,
                 capture_output=True,
             )
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if _elapsed() + 20.0 >= probe_deadline:
+        if _elapsed() + 90.0 + 20.0 >= probe_deadline:
             return False
         print(f"# backend probe {attempt} failed; retrying in 20s",
               file=sys.stderr, flush=True)
         time.sleep(20.0)
+
+
+def _scale_to_budget() -> None:
+    """Budget-adaptive rollout sizing (round-4 VERDICT item 7).
+
+    The 3000-step × 3-trial default assumes the 1200 s design budget;
+    under a small ``FLUIDSIM_BENCH_BUDGET_S`` the fixed sizes left no
+    room and the run emitted an error artifact (observed at 420 s).
+    Called once, right after the backend probe succeeds: scales the
+    rollout length and trial count down so any budget that survives the
+    probe still yields a headline value.  Explicit env overrides win.
+    Accuracy: the only substeps-dependent term is the per-trial sync
+    amortization (~26 ms/rollout ≈ 4.3 µs/step at 3000, 13 µs/step at
+    1000 — well under 3% of a ~1 ms step), so scaled runs read slightly
+    LOW, never high.
+    """
+    global SUBSTEPS, TRIALS
+    rem = _remaining()
+    if rem >= 700.0:
+        return
+    if "FLUIDSIM_BENCH_SUBSTEPS" not in os.environ:
+        SUBSTEPS = 1000 if rem >= 300.0 else 500
+    if "FLUIDSIM_BENCH_TRIALS" not in os.environ:
+        TRIALS = 2 if rem >= 300.0 else 1
+    print(f"# budget {rem:.0f}s remaining: scaled to SUBSTEPS={SUBSTEPS} "
+          f"TRIALS={TRIALS}", file=sys.stderr, flush=True)
 
 
 def _roofline_probes(jax, jnp) -> dict:
@@ -174,41 +210,103 @@ def _roofline_probes(jax, jnp) -> dict:
     docs/KERNELS.md roofline defense is auditable from the artifact:
     * ``hbm_copy_gbps`` — read+write streaming bandwidth of a jitted
       elementwise scale over a 256 MB f32 array (the class of traffic
-      that bounds the unfused step);
+      that bounds the unfused step), with spread;
+    * ``vmem_sweep_us`` — per-sweep cost of the resident Jacobi
+      projection kernel (differential between 60- and 20-iteration
+      solves on synthetic data), the envelope behind the "60-sweep
+      solve is at the VMEM/VPU bound" claim in docs/KERNELS.md;
     * ``sync_roundtrip_ms`` — host→device dispatch + scalar fetch round
       trip (the per-rollout overhead the scan amortizes away).
     """
     probes = {}
     try:
-        nelem = 16 * 1024 * 1024  # 64 MB f32
-        x = jnp.arange(nelem, dtype=jnp.float32) * np.float32(1e-7)
-        f = jax.jit(lambda v: v * np.float32(1.000001))
-        y = f(x)
-        float(y.mean())  # compile + sync
         # Sync via a derived-scalar fetch: block_until_ready was observed
         # to return before the chain completed on this environment's
         # backends; fetching a value computed from the final array cannot.
-        # That fetch costs one tunnel round trip (~27 ms here) — far more
-        # than the chain itself — so a single-timing probe under-reports
-        # bandwidth ~8×.  Differential timing cancels the constant sync:
-        # run the chain at two rep counts and divide the EXTRA bytes by
-        # the EXTRA time.
+        # That fetch costs one tunnel round trip (~27 ms here), so probes
+        # time rep-count DIFFERENTIALS that cancel the constant sync.
+        #
+        # Round-4 hardening: the old two-point min-of-3 differential with
+        # host-side rep loops once measured 1240 GB/s on an ~819 GB/s
+        # part — host dispatch jitter inside the span and min() bias can
+        # both corrupt a two-point slope.  Now the rep loop runs ON
+        # DEVICE (lax.fori_loop with static trip count — zero per-rep
+        # dispatch), the slope comes from a least-squares fit over four
+        # trip counts, and the artifact records the median + spread of 5
+        # independent rounds plus a suspect flag above the v5e datasheet
+        # envelope.
+        nelem = 64 * 1024 * 1024  # 256 MB f32; each rep reads + writes it
+        x = jnp.arange(nelem, dtype=jnp.float32) * np.float32(1e-7)
 
-        def chain(reps):
+        def make_chain(reps):
+            def body(_, z):
+                return z * np.float32(1.000001)
+            return jax.jit(lambda v: jax.lax.fori_loop(0, reps, body, v))
+
+        trip_counts = [8, 40, 72, 104]
+        chains = {r: make_chain(r) for r in trip_counts}
+        for r, f in chains.items():
+            float(f(x).ravel()[0])  # compile + sync
+
+        def timed(reps):
             t0 = time.perf_counter()
-            z = y
-            for _ in range(reps):
-                z = f(z)
-            float(z.mean())
+            float(chains[reps](x).ravel()[0])
             return time.perf_counter() - t0
 
-        r_lo, r_hi = 4, 36
-        chain(2)  # warm the dispatch path
-        t_lo = min(chain(r_lo) for _ in range(3))
-        t_hi = min(chain(r_hi) for _ in range(3))
-        # each rep reads + writes the 64 MB array
-        probes["hbm_copy_gbps"] = round(
-            2 * (r_hi - r_lo) * 4 * nelem / (t_hi - t_lo) / 1e9, 1)
+        rounds = []
+        for _ in range(5):
+            ts = np.array([timed(r) for r in trip_counts])
+            rs = np.array(trip_counts, dtype=np.float64)
+            slope = np.polyfit(rs, ts, 1)[0]  # seconds per rep
+            rounds.append(2 * 4 * nelem / slope / 1e9)
+        rounds = sorted(rounds)
+        probes["hbm_copy_gbps"] = round(float(np.median(rounds)), 1)
+        probes["hbm_copy_gbps_spread"] = [round(float(rounds[0]), 1),
+                                          round(float(rounds[-1]), 1)]
+        if probes["hbm_copy_gbps"] > 850.0:  # v5e datasheet ~819 GB/s
+            probes["hbm_probe_suspect"] = True
+
+        # VMEM sweep envelope: (60-iter − 20-iter) resident projection
+        # on synthetic 128³ velocity / 40 extra sweeps.  Chained on its
+        # own output so one sync covers R solves; the differential
+        # cancels the non-sweep phases (div/grad/DMA) and the sync.
+        try:
+            from fluidsim_tpu.pallas.project import project_3d_pallas
+
+            n = 128
+            vel = (jnp.arange(3 * n * n * n, dtype=jnp.float32)
+                   .reshape(3, n, n, n) % 7) * np.float32(0.01)
+
+            def make_solve(iters, reps):
+                def body(_, v):
+                    return project_3d_pallas(v, iters, obst=None)[0]
+                return jax.jit(
+                    lambda v: jax.lax.fori_loop(0, reps, body, v))
+
+            # reps sized so the 40-extra-sweep differential (~64 × 40 ×
+            # ~15 µs ≈ 40 ms) dominates the ~29 ms tunnel sync's own
+            # ms-scale jitter; an 8-rep first cut read 2.6 µs/sweep —
+            # 10× below the measured in-kernel copy floor — because its
+            # ~3 ms differential was noise.
+            reps = 64
+            solves = {it: make_solve(it, reps) for it in (20, 60)}
+            for f in solves.values():
+                float(f(vel).ravel()[0])  # compile + sync
+
+            def timed_solve(it):
+                t0 = time.perf_counter()
+                float(solves[it](vel).ravel()[0])
+                return time.perf_counter() - t0
+
+            t20 = min(timed_solve(20) for _ in range(3))
+            t60 = min(timed_solve(60) for _ in range(3))
+            sweep_s = (t60 - t20) / (40 * reps)
+            probes["vmem_sweep_us"] = round(sweep_s * 1e6, 2)
+            # one iterate read + rhs read + iterate write per sweep
+            probes["vmem_sweep_gbps"] = round(
+                3 * 4 * n ** 3 / sweep_s / 1e9, 1)
+        except Exception as exc:
+            probes["vmem_probe_error"] = f"{type(exc).__name__}: {exc}"
 
         s = jnp.zeros(())
         g = jax.jit(lambda v: v + 1.0)
@@ -235,6 +333,7 @@ def main() -> None:
         RESULT["error"] = ("device backend unreachable (subprocess probe "
                            "timed out/failed); benchmark skipped")
         sys.exit(_emit())
+    _scale_to_budget()
 
     # Persistent compilation cache: the Pallas kernels take minutes to
     # compile cold; repeated bench runs (and the driver's) hit the cache.
@@ -266,7 +365,9 @@ def main() -> None:
         # recovery must spend its remaining budget on the required
         # metric first (round-4 lesson).
         nonlocal probes_done
-        if probes_done or _remaining() < 120.0:
+        # 180 s floor: the VMEM-envelope probe may cold-compile a
+        # 20-iter resident-solve variant (cached thereafter).
+        if probes_done or _remaining() < 180.0:
             return
         probes_done = True
         RESULT["probes"] = _roofline_probes(jax, jnp)

@@ -92,6 +92,14 @@ def main():
                 print(f"{preset:10s} {name:9s} FAILED "
                       f"{type(exc).__name__}: {exc}", flush=True)
                 continue
+            if nan:
+                # Mirror bench.py's not-promoted-on-NaN rule: a diverging
+                # arrangement's steps/s is INVALID, never a candidate
+                # winner (round-4 ADVICE).
+                print(f"{preset:10s} {name:9s} INVALID (NaN density; "
+                      f"raw {v:.2f} steps/s not a candidate) "
+                      f"compile+warm={comp:.0f}s", flush=True)
+                continue
             print(f"{preset:10s} {name:9s} {v:8.2f} steps/s  nan={nan} "
                   f"compile+warm={comp:.0f}s", flush=True)
 
