@@ -543,14 +543,15 @@ def main() -> None:
     maybe_probes()
 
     # -- phase 2: accuracy-class contenders (never set the headline) ----
-    # bf16 solve buffers halve the sweep loop's VMEM operand traffic at
-    # ~1e-3-relative iterate rounding (same order as the 60-iteration
-    # truncation — config.py solve_dtype note).  legacy_r3_scene is the
+    # f32_solve is the parity tripwire for the shipped bf16 solve
+    # buffers (promoted round 5 after the tools/bf16_solve_accuracy.py
+    # audit: divergence residual within 1.3% of f32's over 3000 steps;
+    # config.py preset_bench_128 docstring).  legacy_r3_scene is the
     # EXACT round-3 headline config (fast unbounded scene + 2-substep
     # 2-cell envelope; 771.75 steps/s in BENCH_r03.json) kept for
     # cross-round comparability of the per-step cost.
     contenders = [
-        ("bf16_solve", base.replace(solve_dtype="bfloat16")),
+        ("f32_solve", base.replace(solve_dtype="float32")),
         ("legacy_r3_scene", base.replace(
             time_step=0.03, buoyancy=1.0, source_strength=150.0,
             density_dissipation=0.0, velocity_damping=0.0,

@@ -586,7 +586,12 @@ def test_project_resident_bf16_solve(with_obst):
     """solve_dtype='bfloat16' (narrow in-VMEM iterate/rhs, f32 sweep
     arithmetic): removes divergence as effectively as the f32 solve and
     stays close to it — the iterate rounding is the same order as the
-    fixed-iteration Jacobi truncation."""
+    fixed-iteration Jacobi truncation.  This pins the bound behind the
+    round-5 promotion into preset_bench_128: on-chip over 3000 bench128
+    steps the divergence-residual ratio measured ≤1.013 at every
+    checkpoint and mass drift ≤1.2e-3 (tools/bf16_solve_accuracy.py;
+    docs/KERNELS.md); the 1.1 ratio asserted here is the generous
+    kernel-level envelope of that measurement."""
     from fluidsim_tpu.pallas.project import project_3d_pallas
 
     obst = _box_obst() if with_obst else None
@@ -974,8 +979,13 @@ def test_step_jacobi_sweep_block_wiring(monkeypatch):
         functools.partial(pa.advect_multi_3d_pallas, interpret=True),
     )
 
+    # solve_dtype pinned to f32: this test asserts the composite
+    # blocking's f32-REASSOCIATION bound; bench128 ships bf16 solve
+    # buffers (round 5), whose rounding would swamp the 1e-5 tolerance
+    # (bf16-composed coverage: test_fused_project_density_advect_bf16).
     cfg = fs.get_preset("bench128").replace(
         size=N2, jacobi_iters=8, source_radius=2.0,
+        solve_dtype="float32",
     )
     state = fs.zeros_state(cfg)
     d = jnp.abs(consistent2(0, 320, scale=1.0))
