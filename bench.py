@@ -283,12 +283,13 @@ def _roofline_probes(jax, jnp) -> dict:
                 return jax.jit(
                     lambda v: jax.lax.fori_loop(0, reps, body, v))
 
-            # reps sized so the 40-extra-sweep differential (~64 × 40 ×
-            # ~15 µs ≈ 40 ms) dominates the ~29 ms tunnel sync's own
-            # ms-scale jitter; an 8-rep first cut read 2.6 µs/sweep —
-            # 10× below the measured in-kernel copy floor — because its
-            # ~3 ms differential was noise.
-            reps = 64
+            # reps sized so the 40-extra-sweep differential (~256 × 40 ×
+            # ~10 µs ≈ 100 ms) dominates the tunnel sync's ONE-SIDED
+            # jitter (identical calls measured 59-111 ms apart); an
+            # 8-rep first cut read 2.6 µs/sweep — 10× below the measured
+            # in-kernel copy floor — because its ~3 ms differential was
+            # noise.  min-of-N is the right estimator: delays only add.
+            reps = 256
             solves = {it: make_solve(it, reps) for it in (20, 60)}
             for f in solves.values():
                 float(f(vel).ravel()[0])  # compile + sync
@@ -298,8 +299,8 @@ def _roofline_probes(jax, jnp) -> dict:
                 float(solves[it](vel).ravel()[0])
                 return time.perf_counter() - t0
 
-            t20 = min(timed_solve(20) for _ in range(3))
-            t60 = min(timed_solve(60) for _ in range(3))
+            t20 = min(timed_solve(20) for _ in range(4))
+            t60 = min(timed_solve(60) for _ in range(4))
             sweep_s = (t60 - t20) / (40 * reps)
             probes["vmem_sweep_us"] = round(sweep_s * 1e6, 2)
             # one iterate read + rhs read + iterate write per sweep

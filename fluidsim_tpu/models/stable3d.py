@@ -101,8 +101,11 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     """One product step.  ``jacobi_fn(p, div, iters)`` optionally overrides
     the pressure solve — the hook the explicit halo-exchange solver
     (parallel/halo.jacobi_3d_sharded) plugs into via ``sharded_step_fn``.
-    ``advect_fn(bs, fields, velocity, dt)`` likewise overrides advection
-    (the per-shard kernel, parallel/halo.advect_multi_3d_sharded).
+    ``advect_fn(bs, fields, velocity, dt, obst=None)`` likewise overrides
+    advection (the per-shard kernel,
+    parallel/halo.advect_multi_3d_sharded); it receives the (possibly
+    None) obstacle mask and must implement the full per-substep obstacle
+    contract ``ops.advect._mask_and_bnd_3d`` applies.
 
     ``src``: folded-emitter descriptor (``emitter_fold_operand``) —
     only valid when ``emitter_folds(cfg)``; the caller skips
@@ -172,7 +175,7 @@ def simulate_step_3d(state: FluidState, cfg: SimConfig,
     # -- self-advection (one shared backtrace for all three components) --
     def advect_fields(bs, fields, velocity, buoy=None):
         if advect_fn is not None:
-            return advect_fn(bs, fields, velocity, dt)
+            return advect_fn(bs, fields, velocity, dt, obst)
         if use_pallas:
             from ..pallas.advect import advect_multi_3d_pallas
 

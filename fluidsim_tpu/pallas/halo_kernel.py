@@ -226,7 +226,8 @@ def _ext_window_body(walls_smem, x_hbm, x0_hbm, out_hbm, buf0, buf1, x0s,
 def _ext_advect_kernel(zoff_smem, *refs, nz: int, n: int,
                        n_fields: int, slab: int, k_win: int, halo: int,
                        n_sub: int, dt0: float, bs,
-                       tile_y: int | None = None, self_adv: bool = False):
+                       tile_y: int | None = None, self_adv: bool = False,
+                       has_obst: bool = False):
     """Windowed K-substep advection over an (nz, n, n) halo-extended
     shard slab.  ``zoff_smem``: int32[1] traced global-z index of the
     extended array's plane 0 (= rank·lz − halo; negative on rank 0,
@@ -240,17 +241,36 @@ def _ext_advect_kernel(zoff_smem, *refs, nz: int, n: int,
     materializes on the out window exactly like the single-chip
     ``fuse_mask`` path, except the global z faces are written by the
     window whose shipped slab contains them (traced condition) instead
-    of the statically first/last program."""
+    of the statically first/last program.
+
+    ``has_obst`` (round 5): the int8 obstacle-mask window DMAs in
+    alongside the fields and ``_substep_window_vals`` applies the FULL
+    per-substep contract — fresh-zero walls/obstacle cells, faces, and
+    the obstacle *mirror* for velocity components — on the window,
+    exactly as the single-chip obstacle kernel.  The mirror reads ±1
+    neighbors, so the caller provisions ``halo = n_sub·(k_win+1)`` and
+    the mask rides the same halo exchange as the fields.  The mirror's
+    wall/interior predicates are global-position-based (traced
+    ``start``), so nothing else changes; the explicit face slice-writes
+    below are skipped (the in-values contract already wrote them)."""
     from .advect import _substep_window_vals
 
     if self_adv:
         # Velocity self-advection: the field windows alias the velocity
         # windows — one in-DMA stream (same as the single-chip
         # ``_advect_kernel`` self_adv path).
-        vel_hbm, out_hbm, vbuf, obuf, sems = refs
+        if has_obst:
+            vel_hbm, obst_hbm, out_hbm, vbuf, mbuf, obuf, sems = refs
+        else:
+            vel_hbm, out_hbm, vbuf, obuf, sems = refs
+            obst_hbm = mbuf = None
         fbuf = vbuf
+    elif has_obst:
+        (fields_hbm, vel_hbm, obst_hbm, out_hbm,
+         fbuf, vbuf, mbuf, obuf, sems) = refs
     else:
         fields_hbm, vel_hbm, out_hbm, fbuf, vbuf, obuf, sems = refs
+        obst_hbm = mbuf = None
 
     idx = pl.program_id(0)
     p = slab + 2 * halo
@@ -273,6 +293,13 @@ def _ext_advect_kernel(zoff_smem, *refs, nz: int, n: int,
             sems.at[1],
         ),
     )
+    if has_obst:
+        dmas += (
+            pltpu.make_async_copy(
+                obst_hbm.at[pl.ds(start, p), pl.ds(ystart, py)], mbuf,
+                sems.at[3],
+            ),
+        )
     for d in dmas:
         d.start()
     for d in dmas:
@@ -281,12 +308,25 @@ def _ext_advect_kernel(zoff_smem, *refs, nz: int, n: int,
     f32 = jnp.float32
     vel_vals = tuple(vbuf[c].astype(f32) for c in range(3))
     fields_in = tuple(fbuf[c].astype(f32) for c in range(n_fields))
+    omask = mbuf[...].astype(f32) if has_obst else None
     fields_v = _substep_window_vals(
         fields_in, vel_vals, start=zoff + start, n=n, p=p, k_win=k_win,
-        n_sub=n_sub, dt0=dt0, bs=bs, ystart=ystart, py=py,
+        n_sub=n_sub, dt0=dt0, bs=bs, omask=omask, ystart=ystart, py=py,
     )
     for c in range(n_fields):
         obuf[c, :, :, :] = fields_v[c].astype(obuf.dtype)
+
+    if has_obst:
+        # Full contract already applied on the window values (incl. the
+        # final substep) by ``_substep_window_vals``'s omask path.
+        out_dma = pltpu.make_async_copy(
+            obuf.at[:, pl.ds(off, slab), pl.ds(off_y, ty)],
+            out_hbm.at[:, pl.ds(z0, slab), pl.ds(y0, ty)],
+            sems.at[2],
+        )
+        out_dma.start()
+        out_dma.wait()
+        return
 
     # Output contract: fresh-zero borders + set_bnd faces z→y→x as slice
     # writes (every border cell is rewritten by a face pass, so no
@@ -336,12 +376,15 @@ def _ext_advect_kernel(zoff_smem, *refs, nz: int, n: int,
 
 
 def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int,
-                     self_adv: bool = False):
+                     self_adv: bool = False, has_obst: bool = False):
     """(slab, tile_y) for the extended-slab advect windows: same VMEM
     model as ``advect._pick_slab`` (nbuf=1 — no double-buffering yet on
     the sharded path), slab divides nz, min-redundancy selection.
     ``self_adv``: field windows alias the velocity windows (no separate
-    fields DMA/VMEM)."""
+    fields DMA/VMEM).  ``has_obst``: adds the int8 mask window (¼) plus
+    the live mirror temporaries measured on the single-chip kernel
+    (≈6 window-equivalents; +8 more when self-aliased — see
+    ``advect._pick_slab``'s obstacle calibration)."""
     budget = 120 * 1024 * 1024
     best = None
     best_cost = None
@@ -358,7 +401,10 @@ def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int,
                 continue
             p = slab + 2 * halo
             f_in = 0 if self_adv else n_fields
-            need = ((f_in + n_fields + 3) + 28) * p * plane
+            extra = 0.0
+            if has_obst:
+                extra = 0.25 + 6.0 + (8.0 if self_adv else 0.0)
+            need = ((f_in + n_fields + 3) + 28 + extra) * p * plane
             if need > tile_budget or p > nz:
                 continue
             cost = window_cost(p, py, slab, ty, n, tile != n)
@@ -371,25 +417,36 @@ def _pick_ext_advect(nz: int, n: int, n_fields: int, halo: int,
 
 def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
                       z_offset, window: int = 1, n_sub: int = 1,
-                      interpret: bool = False, vma=None):
+                      obst_ext=None, interpret: bool = False, vma=None):
     """Per-shard windowed substepped advection on halo-extended slabs.
 
     ``fields_ext``: (F, nz, n, n), ``vel_ext``: (3, nz, n, n) with
-    ``nz = lz + 2·window·n_sub`` (halo-exchanged); ``n`` is the GLOBAL
+    ``nz = lz + 2·halo`` (halo-exchanged); ``n`` is the GLOBAL
     grid size; ``z_offset`` the traced global-z index of extended plane
-    0.  Returns the advected extended array (outer ``window·n_sub``
-    planes are erosion garbage — slice them off).  Obstacle-free only
-    (the sharded explicit path requires it).  Returns None when no
-    VMEM-feasible window exists."""
+    0.  Returns the advected extended array (outer ``halo``
+    planes are erosion garbage — slice them off).  Returns None when no
+    VMEM-feasible window exists.
+
+    ``obst_ext`` (round 5): int8 (nz, n, n) halo-extended obstacle mask
+    — enables the full in-kernel obstacle contract (zero + faces +
+    velocity mirror per substep, ``advect._substep_window_vals`` omask
+    path).  The mirror reads ±1 neighbors per substep, so the halo is
+    ``n_sub·(window+1)`` instead of ``n_sub·window`` — the caller's
+    exchange depth must match (``parallel.halo.advect_multi_3d_sharded``
+    provisions it).  Contract lineage: FluidSim.cs:1148-1156 (obstacle
+    advection) + :1261-1287 (obstacle mirror)."""
     n_fields = fields_ext.shape[0]
     nz = fields_ext.shape[1]
-    halo = window * n_sub
+    has_obst = obst_ext is not None
+    halo = n_sub * (window + 1) if has_obst else window * n_sub
+    if nz <= 2 * halo:
+        return None
     # Velocity self-advection (object identity, as in the single-chip
     # kernel): alias the field windows onto the velocity windows — one
     # in-DMA stream, n_fields fewer VMEM windows.
     self_adv = fields_ext is vel_ext and tuple(bs) == (1, 2, 3) \
         and n_fields == 3
-    picked = _pick_ext_advect(nz, n, n_fields, halo, self_adv)
+    picked = _pick_ext_advect(nz, n, n_fields, halo, self_adv, has_obst)
     if picked is None:
         return None
     slab, tile_y = picked
@@ -401,7 +458,7 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
     kernel = functools.partial(
         _ext_advect_kernel, nz=nz, n=n, n_fields=n_fields, slab=slab,
         k_win=window, halo=halo, n_sub=n_sub, dt0=dt0, bs=tuple(bs),
-        tile_y=tile_y, self_adv=self_adv,
+        tile_y=tile_y, self_adv=self_adv, has_obst=has_obst,
     )
     out_sds = jax.ShapeDtypeStruct((n_fields, nz, n, n), fields_ext.dtype)
     if vma is not None:
@@ -412,15 +469,22 @@ def advect_ext_pallas(bs, fields_ext, vel_ext, n: int, dt: float,
     ]
     scratch += [
         pltpu.VMEM((3, p, py, n), vel_ext.dtype),
+    ]
+    if has_obst:
+        scratch += [pltpu.VMEM((p, py, n), jnp.int8)]
+    scratch += [
         pltpu.VMEM((n_fields, p, py, n), fields_ext.dtype),
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.SemaphoreType.DMA((4 if has_obst else 3,)),
     ]
     operands = (zoff,) + (() if self_adv else (fields_ext,)) + (vel_ext,)
+    if has_obst:
+        operands += (obst_ext.astype(jnp.int8),)
+    n_any = (1 if self_adv else 2) + (1 if has_obst else 0)
     return pl.pallas_call(
         kernel,
         grid=((nz // slab) * n_ty,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 if self_adv else 2),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=out_sds,
         scratch_shapes=scratch,

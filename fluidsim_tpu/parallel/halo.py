@@ -68,7 +68,7 @@ def halo_exchange_z(x_local, axis_name: str = "z", depth: int = 1,
 def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
                             axis_name: str = "z", window: int = 1,
                             n_sub: int = 1, interpret: bool = False,
-                            transport: str = "ppermute"):
+                            transport: str = "ppermute", obst=None):
     """Slab-sharded windowed substepped advection with explicit halo
     exchange and per-shard Pallas compute
     (``pallas.halo_kernel.advect_ext_pallas``).
@@ -78,11 +78,21 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
     cells per substep, so a ``window·n_sub``-plane halo covers every
     sample a shard's cells can reach — one exchange of fields+velocity
     per step, zero during the substeps (which run in VMEM).  Matches
-    ``ops.advect.advect_substep_3d`` (obstacle-free) on the full grid.
+    ``ops.advect.advect_substep_3d`` on the full grid.
+
+    ``obst`` (round 5): optional (N, N, N) obstacle mask, sharded like a
+    field — enables the full in-kernel obstacle contract (zero + faces +
+    velocity mirror per substep; FluidSim.cs:1148-1156 + :1261-1287
+    semantics).  The mirror reads ±1 neighbors per substep, so the
+    exchange depth grows to ``n_sub·(window+1)`` and the mask's own edge
+    slabs ride the same exchange (int8 on the ppermute path; one f32
+    channel on the rdma path — the mask is static data, but exchanging
+    it per call keeps the zero-XLA-collectives property and costs 2h
+    planes).
 
     ``transport="rdma"`` performs that one exchange inside a Pallas
-    kernel as inter-chip remote DMAs (``halo_exchange_rdma`` — both
-    fields and velocity ride one call) instead of XLA ``ppermute``:
+    kernel as inter-chip remote DMAs (``halo_exchange_rdma`` — fields,
+    velocity, and mask ride one call) instead of XLA ``ppermute``:
     bitwise-identical extended arrays, zero XLA collectives.
     """
     if transport not in ("ppermute", "rdma"):
@@ -92,10 +102,13 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
     n = fields.shape[-1]
     n_shards = mesh.shape[axis_name]
     lz_global = fields.shape[1] // n_shards
-    h = window * n_sub
+    has_obst = obst is not None
+    h = n_sub * (window + 1) if has_obst else window * n_sub
     if h > lz_global:
+        kind = ("n_sub·(window+1), obstacle mirror" if has_obst
+                else "window·n_sub")
         raise ValueError(
-            f"advect halo {h} (window·n_sub) exceeds local slab depth "
+            f"advect halo {h} ({kind}) exceeds local slab depth "
             f"{lz_global}"
         )
     from ..pallas.halo_kernel import _pick_ext_advect
@@ -107,26 +120,37 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
     self_adv = fields is vel and tuple(bs) == (1, 2, 3) \
         and fields.shape[0] == 3
     if _pick_ext_advect(lz_global + 2 * h, n, fields.shape[0], h,
-                        self_adv) is None:
+                        self_adv, has_obst) is None:
         raise ValueError(
             f"no VMEM-feasible advect window for (lz={lz_global}, "
             f"halo={h}, n={n})"
         )
     fspec = P(None, axis_name, None, None)
+    mspec = P(axis_name, None, None)
 
-    def body(f_local, v_local):
+    def body(f_local, v_local, m_local=None):
         from ..pallas.halo_kernel import advect_ext_pallas
 
         rank = jax.lax.axis_index(axis_name)
         lz = v_local.shape[1]
+        m_ext = None
         if transport == "rdma":
             from ..pallas.halo_kernel import halo_exchange_rdma
 
+            arrays = ([v_local] if f_local is v_local
+                      else [f_local, v_local])
+            if m_local is not None:
+                # The mask rides the same kernel as one f32 channel
+                # (the exchange kernel's comm buffers are homogeneous
+                # f32); cast back to int8 for the advect kernel.
+                arrays = arrays + [m_local[None].astype(jnp.float32)]
             exts = halo_exchange_rdma(
-                [v_local] if f_local is v_local else [f_local, v_local],
-                h, axis_name, interpret=interpret,
+                arrays, h, axis_name, interpret=interpret,
                 vma=frozenset({axis_name}),
             )
+            if m_local is not None:
+                m_ext = exts[-1][0].astype(jnp.int8)
+                exts = exts[:-1]
             f_ext, v_ext = (exts[0], exts[0]) if f_local is v_local else exts
         else:
             vb, va = halo_exchange_z(v_local, axis_name, h, axis=1)
@@ -136,26 +160,32 @@ def advect_multi_3d_sharded(bs, fields, vel, dt: float, mesh: Mesh,
             else:
                 fb, fa = halo_exchange_z(f_local, axis_name, h, axis=1)
                 f_ext = jnp.concatenate([fb, f_local, fa], axis=1)
+            if m_local is not None:
+                m8 = m_local.astype(jnp.int8)
+                mb, ma = halo_exchange_z(m8, axis_name, h, axis=0)
+                m_ext = jnp.concatenate([mb, m8, ma], axis=0)
         out = advect_ext_pallas(
             tuple(bs), f_ext, v_ext, n, dt, rank * lz - h,
-            window=window, n_sub=n_sub, interpret=interpret,
-            vma=frozenset({axis_name}),
+            window=window, n_sub=n_sub, obst_ext=m_ext,
+            interpret=interpret, vma=frozenset({axis_name}),
         )
         return jax.lax.slice_in_dim(out, h, h + lz, axis=1)
 
     if self_adv:
+        in_specs = (fspec,) + ((mspec,) if has_obst else ())
         run = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=(fspec,), out_specs=fspec,
+            jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=fspec,
             check_vma=False,  # pallas interpret mixes varying axes
-        )(lambda v_local: body(v_local, v_local))
-        return run(vel)
+        )(lambda v_local, *m: body(v_local, v_local, *m))
+        return run(vel, *((obst,) if has_obst else ()))
 
+    in_specs = (fspec, fspec) + ((mspec,) if has_obst else ())
     run = functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(fspec, fspec), out_specs=fspec,
+        in_specs=in_specs, out_specs=fspec,
         check_vma=False,  # pallas interpret mixes varying axes (cf. body)
     )(body)
-    return run(fields, vel)
+    return run(fields, vel, *((obst,) if has_obst else ()))
 
 
 def _ext_sweep(b, xp, x0_ext, a, c, rank, n_dev, halo: int, lz: int,

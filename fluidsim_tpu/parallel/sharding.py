@@ -135,37 +135,42 @@ def sharded_step_fn(cfg: SimConfig, mesh: Mesh, axis_name: str = "z",
                                      obst=obst)
 
     advect_fn = None
-    # The per-shard advect kernel is obstacle-free (the velocity mirror's
-    # per-substep halo growth blows its window model); obstacle configs
-    # keep the auto-partitioned XLA advection, which handles the mask.
-    if halo == "explicit" and halo_backend != "xla" \
-            and not cfg.enable_obstacle:
+    # Obstacle scenes run the per-shard kernel too (round 5): the full
+    # in-kernel obstacle contract (zero + faces + velocity mirror per
+    # substep) ports from the single-chip kernel; the mirror's ±1 reads
+    # grow the exchange depth to n_sub·(window+1) and the mask's edge
+    # slabs ride the same halo exchange (parallel.halo).
+    if halo == "explicit" and halo_backend != "xla":
         from ..pallas.halo_kernel import _pick_ext_advect
         from ..pallas.jacobi import pallas_supported
 
         n = cfg.current_size
         n_sub = (cfg.advect_substeps
                  if cfg.advection_scheme == "substep" else 1)
-        h = cfg.advect_window * n_sub
+        has_obst = bool(cfg.enable_obstacle)
+        h = (n_sub * (cfg.advect_window + 1) if has_obst
+             else cfg.advect_window * n_sub)
         lz = n // mesh.shape[axis_name]
         feasible = (
             cfg.advection_scheme in ("semi_lagrangian", "substep")
             and cfg.advect_window >= 1
             and h <= lz
             and (pallas_interpret or n % 128 == 0)
-            and _pick_ext_advect(lz + 2 * h, n, 3, h) is not None
+            and _pick_ext_advect(lz + 2 * h, n, 3, h,
+                                 has_obst=has_obst) is not None
         )
         if feasible and (pallas_supported() or pallas_interpret
                          or halo_backend in ("pallas", "rdma")):
             from .halo import advect_multi_3d_sharded
 
-            def advect_fn(bs, fields, velocity, d_t):
+            def advect_fn(bs, fields, velocity, d_t, obst=None):
                 return advect_multi_3d_sharded(
                     bs, fields, velocity, float(d_t), mesh, axis_name,
                     window=cfg.advect_window, n_sub=n_sub,
                     interpret=pallas_interpret,
                     transport=("rdma" if halo_backend == "rdma"
                                else "ppermute"),
+                    obst=obst,
                 )
 
     # On a multi-shard mesh the auto-partitioned body must NOT dispatch
