@@ -436,7 +436,20 @@ def preset_plume_64() -> SimConfig:
 
 
 def preset_vortex_128() -> SimConfig:
-    """128³ with vorticity confinement + static solid obstacle."""
+    """128³ with vorticity confinement + static solid obstacle.
+
+    solve_dtype="bfloat16" (round 5): REQUIRED for the kernel-grade
+    obstacle projection on today's toolchain — the f32 obstacle resident
+    kernel's register allocator spills 69.75 MB and OOMs the 128 MB VMEM
+    at 128³ (a toolchain regression; the same kernel measured 0.839 ms
+    in round 4), while the bf16-solve arrangement compiles and runs
+    (pallas/resident.resident_obstacle_fits documents the calibrated
+    model; f32 configs now fall back to the XLA solve instead of
+    crashing).  Accuracy bound: same class as the audited bench128
+    promotion (tools/bf16_solve_accuracy.py --preset vortex128).
+    fuse_project_advect stays OFF: the fused obstacle kernel OOMs in
+    BOTH solve dtypes on this toolchain (155.14 / 130.92 MB measured).
+    """
     return SimConfig(
         ndim=3,
         size=128,
@@ -464,6 +477,7 @@ def preset_vortex_128() -> SimConfig:
         advection_scheme="substep",
         advect_window=1,
         advect_substeps=3,
+        solve_dtype="bfloat16",
     ).validate()
 
 
@@ -498,6 +512,11 @@ def preset_multi_emitter_256() -> SimConfig:
         advection_scheme="substep",
         advect_window=1,
         advect_substeps=2,
+        # Measured on-chip r5: 47.53 fused vs 47.48 unfused steps/s — a
+        # tie at 256³ (the windows stream HBM either way), shipped fused
+        # for the strictly-smaller HBM traffic and one fewer dispatch;
+        # bitwise-equal numerics (r4-VERDICT item 4 A/B).
+        fuse_project_advect=True,
     ).validate()
 
 

@@ -110,9 +110,16 @@ def project_3d(vel, obst=None, iters: int = 20, use_pallas: bool = False,
 
         p = jacobi_3d_pallas(0, p, div, a=1.0, c=6.0, iters=iters)
     elif use_pallas:
-        from ..pallas.resident import jacobi_3d_resident, resident_fits
+        from ..pallas.resident import (
+            jacobi_3d_resident,
+            resident_obstacle_fits,
+        )
 
-        if resident_fits(n, 6):  # 5 f32 volumes + the int8 mask
+        # Compiled-Mosaic obstacle solves need the spill-aware model
+        # (round 5 — the f32 obstacle sweep OOMs VMEM at 128³ on
+        # today's toolchain; pallas/resident.resident_obstacle_fits).
+        # This branch is only reached on real-compile paths.
+        if resident_obstacle_fits(n, 4):
             p = jacobi_3d_resident(0, p, div, 1.0, 6.0, iters, obst=obst)
         else:
             p = jacobi_3d(0, p, div, a=1.0, c=6.0, obst=obst, iters=iters)

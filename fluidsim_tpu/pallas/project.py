@@ -185,7 +185,8 @@ def project_advect_density_3d_pallas(vel, density, iters: int, dt: float, *,
     if window < 1 or n_sub < 1 or n % 8 or n < 16:
         return None
     if project_advect_fits(n, window, n_sub, solve_bytes=sdt.itemsize,
-                           field_bytes=fb, has_obst=obst is not None) is None:
+                           field_bytes=fb, has_obst=obst is not None,
+                           compiled=not interpret) is None:
         return None
     if not (interpret or pallas_supported()):
         return None
@@ -250,12 +251,25 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
     # Whole-projection-in-VMEM kernel: one HBM round trip regardless of
     # iteration count (pallas/resident.py) — strictly dominates the slab
     # pipeline whenever 6 volumes fit on-chip.
-    from .resident import project_3d_resident, resident_fits
+    from .resident import (
+        project_3d_resident,
+        resident_fits,
+        resident_obstacle_fits,
+    )
 
-    # Obstacle variant carries two extra scratch volumes (int8 mask + the
-    # masked-1/c coefficient plane), so gate it a volume tighter.
-    if (resident_fits(n, 6 if obst is None else 7)
-            and (interpret or pallas_supported())):
+    # Obstacle variant: compiled Mosaic needs the calibrated spill-aware
+    # model (round 5 — the f32 obstacle sweep spills ~9 volume-
+    # equivalents on today's toolchain and OOMs at 128³; bf16 solve
+    # buffers fit).  Interpret mode has no Mosaic/spill and keeps the
+    # volume-count model so CPU tests exercise the kernel branch.
+    if obst is None:
+        ok = resident_fits(n, 6)
+    elif interpret:
+        ok = resident_fits(n, 7)
+    else:
+        ok = resident_obstacle_fits(
+            n, 2 if solve_dtype == "bfloat16" else 4)
+    if ok and (interpret or pallas_supported()):
         # The set_bnd obstacle mirror is fused into the kernel (after the
         # in-kernel face writes, the oracle's faces-then-mirror order).
         return project_3d_resident(vel, iters, obst=obst,
@@ -263,8 +277,11 @@ def project_3d_pallas(vel, iters: int, block_iters: int = 10,
                                    solve_dtype=solve_dtype,
                                    sweep_block=sweep_block)
 
-    if obst is not None:  # slab kernels are obstacle-free
-        return project_3d(vel, obst, iters, use_pallas=not interpret)
+    if obst is not None:
+        # Slab kernels are obstacle-free, and the ops-level resident
+        # branch would hit the same spill class the gate above just
+        # rejected — go straight to the XLA solve (correct, slower).
+        return project_3d(vel, obst, iters, use_pallas=False)
 
     if vel.dtype != jnp.float32:
         # The slab kernels declare f32 scratch against storage-dtype HBM

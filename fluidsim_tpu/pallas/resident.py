@@ -60,6 +60,23 @@ def resident_fits(n: int, nvols: int) -> bool:
     return n % 8 == 0 and n >= 16 and nvols * n * n * n * 4 <= _VMEM_BUDGET
 
 
+def resident_obstacle_fits(n: int, solve_bytes: int = 4) -> bool:
+    """VMEM feasibility of the OBSTACLE resident projection on compiled
+    Mosaic, calibrated to measured round-5 compiles: the obstacle sweep
+    loop's register allocator now spills ~9 VOLUME-equivalents in the
+    solve dtype (69.75 MB at f32/128³ — total 135.75 MB, OOM over the
+    128 MB limit; the bf16-solve arrangement compiles and runs).  This
+    is a toolchain property, not a kernel change — the same kernel
+    measured 0.839 ms in round 4.  Model: vel(3)+pstag+coef f32 volumes
+    + int8 mask + iterate/rhs + ~9 spill volumes in the solve dtype.
+    f32 at 128³ → 136 MB-equivalent (reject, matching the observed
+    OOM); bf16 → 90 MB (accept, matching the observed fit).  Interpret
+    mode never consults this (no Mosaic, no spill)."""
+    vol = n * n * n
+    need = vol * (5 * 4 + 1 + 2 * solve_bytes + 9 * solve_bytes)
+    return n % 8 == 0 and n >= 16 and need <= _VMEM_BUDGET
+
+
 def _roll(v, shift, axis):
     # pltpu.roll wants non-negative shifts; −1 ≡ m−1 on an axis of size m.
     return pltpu.roll(v, shift % v.shape[axis], axis)
@@ -1371,7 +1388,7 @@ def _density_phase(dens_hbm, densout_hbm, vbuf, dwin, dowin, dsems, *,
 
 def project_advect_fits(n: int, window: int, n_sub: int,
                         solve_bytes: int = 4, field_bytes: int = 4,
-                        has_obst: bool = False):
+                        has_obst: bool = False, compiled: bool = True):
     """Largest z-slab for the fused projection+density-advect kernel, or
     ``None`` when it cannot fit VMEM.  Total-footprint model: declared
     volumes (3 field + 3 solve + 1 pstag) + 2×(in+out) density windows +
@@ -1380,7 +1397,15 @@ def project_advect_fits(n: int, window: int, n_sub: int,
     smaller) against a 100 MB budget.  ``has_obst`` adds the declared
     int8 mask + f32 coef volumes and ~2 window-equivalents for the
     per-window f32 mask slice and its derived bools (the b=0 contract
-    has no mirror, so the halo does NOT grow)."""
+    has no mirror, so the halo does NOT grow).
+
+    ``compiled`` (round 5): on compiled Mosaic the OBSTACLE variant's
+    register allocator additionally spills ~11 volume-equivalents
+    (measured: 84.39 MB spill slots at f32/128³ → 155.14 MB total OOM;
+    the bf16-solve arrangement still OOMs at 130.92 MB) — a toolchain
+    property (the same kernel compiled in round 4).  Interpret callers
+    pass ``compiled=False`` and keep the spill-free model so CPU tests
+    exercise the fused obstacle branch."""
     halo = window * n_sub
     plane = n * n
     vol = n * plane
@@ -1400,6 +1425,8 @@ def project_advect_fits(n: int, window: int, n_sub: int,
         if has_obst:
             declared += vol * (1 + 4)      # omask (int8) + coef (f32)
             temps += 2 * pw * plane * 4
+            if compiled:
+                temps += 11 * vol * 4      # measured spill envelope
         if declared + temps <= 100 * 1024 * 1024:
             return slab
     return None

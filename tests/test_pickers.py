@@ -82,3 +82,32 @@ def test_jacobi_cross_t_selection():
     # 128³ fits full-width at T=10 (moot in product — the resident
     # whole-volume kernel takes over below ~160³).
     assert pick_blocking(128, 10) == ((64, 10, None), 10)
+
+
+def test_obstacle_resident_spill_calibration():
+    """Round-5 toolchain calibration: the OBSTACLE resident projection's
+    register allocator spills ~9 volume-equivalents (solve dtype) on
+    compiled Mosaic — measured 135.75 MB OOM at f32/128³ vs a compiling
+    bf16 arrangement; the FUSED obstacle kernel OOMs in both dtypes
+    (155.14 / 130.92 MB).  These pins must only move with a new on-chip
+    measurement (vortex128 preset docstring records the evidence)."""
+    from fluidsim_tpu.pallas.resident import (
+        project_advect_fits,
+        resident_obstacle_fits,
+    )
+
+    assert not resident_obstacle_fits(128, 4)   # f32: measured OOM
+    assert resident_obstacle_fits(128, 2)       # bf16: measured fit
+    assert resident_obstacle_fits(64, 4)        # small grids keep f32
+
+    # Fused obstacle kernel at 128³: rejected for both dtypes when
+    # compiled; interpret keeps the branch testable on CPU.
+    assert project_advect_fits(128, 1, 3, solve_bytes=4,
+                               has_obst=True, compiled=True) is None
+    assert project_advect_fits(128, 1, 3, solve_bytes=2,
+                               has_obst=True, compiled=True) is None
+    assert project_advect_fits(32, 1, 2, solve_bytes=4,
+                               has_obst=True, compiled=False) is not None
+    # Obstacle-free fused path is unaffected by the spill term.
+    assert project_advect_fits(128, 1, 1, solve_bytes=2,
+                               has_obst=False, compiled=True) is not None

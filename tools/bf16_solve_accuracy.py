@@ -17,8 +17,13 @@ needs, on-chip, over a 3000-step bench128 rollout:
   steady state makes this bounded; a systematic bf16 bias would show as
   a diverging ratio).
 
-Usage: python tools/bf16_solve_accuracy.py [total_steps] [chunk]
+Usage: python tools/bf16_solve_accuracy.py [total_steps] [chunk] [preset]
 Writes a JSON summary line at the end (captured into docs/KERNELS.md).
+``preset`` (default bench128) also audits e.g. vortex128 — obstacle
+masks are built from the config; note the f32 path on an obstacle
+config runs the XLA solve (the f32 obstacle resident kernel OOMs on
+today's toolchain — resident_obstacle_fits), so that audit compares
+bf16-kernel vs f32-XLA, bounding the kernel+dtype delta together.
 """
 from __future__ import annotations
 
@@ -47,6 +52,7 @@ from fluidsim_tpu.scene.sources import apply_custom_source, emitter_fold_operand
 
 TOTAL = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+PRESET = sys.argv[3] if len(sys.argv) > 3 else "bench128"
 
 
 def build_rollout(cfg):
@@ -95,13 +101,18 @@ def delta(s32, s16):
 
 
 def main():
-    base = fs.get_preset("bench128")
+    base = fs.get_preset(PRESET)
     cfgs = {
         "f32": base.replace(solve_dtype="float32"),
         "bf16": base.replace(solve_dtype="bfloat16"),
     }
+    obst = None
+    if base.enable_obstacle:
+        from fluidsim_tpu.scene.obstacles import build_obstacle_mask
+
+        obst = jnp.asarray(build_obstacle_mask(base))
     rollouts = {k: build_rollout(c) for k, c in cfgs.items()}
-    states = {k: fs.zeros_state(c) for k, c in cfgs.items()}
+    states = {k: fs.zeros_state(c, obstacles=obst) for k, c in cfgs.items()}
 
     rows = []
     t0 = time.time()
