@@ -75,34 +75,9 @@ def run_row(label, argv, env, timeout):
     return row
 
 
-def main():
-    quick = "--quick" in sys.argv
-    rows = []
-
-    # Judge-verified smoke point (fast; always measured first so a
-    # timeout on the big rows still leaves receipts).
-    for halo in ("auto", "explicit"):
-        rows.append(run_row(
-            f"cpu-mesh8 128^3 halo={halo}",
-            ["bench", "--preset", "sharded512", "--size", "128",
-             "--mesh", "8", "--halo", halo, "--steps", "8",
-             "--substeps", "4"],
-            CPU_ENV, timeout=1800))
-
-    if not quick:
-        for halo in ("auto", "explicit"):
-            rows.append(run_row(
-                f"cpu-mesh8 512^3 halo={halo}",
-                ["bench", "--preset", "sharded512", "--mesh", "8",
-                 "--halo", halo, "--steps", "4", "--substeps", "2"],
-                CPU_ENV, timeout=5400))
-        # Single-chip 512^3 on the real TPU (y-tiled kernels).
-        rows.append(run_row(
-            "tpu-1chip 512^3",
-            ["bench", "--preset", "sharded512", "--steps", "20",
-             "--substeps", "10"],
-            TPU_ENV, timeout=1800))
-
+def _dump(rows):
+    """Write MESH_BENCH.json after EVERY row — a killed run still
+    leaves the receipts it earned."""
     out = {
         "what": ("BASELINE config 5 (512^3 sharded halo-exchange Jacobi) "
                  "throughput receipts; CPU-mesh rows are correctness-grade "
@@ -116,7 +91,49 @@ def main():
     path = os.path.join(REPO, "MESH_BENCH.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"# wrote {path}", flush=True)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    rows = []
+
+    # Judge-verified smoke point (fast; always measured first so a
+    # timeout on the big rows still leaves receipts).
+    for halo in ("auto", "explicit"):
+        rows.append(run_row(
+            f"cpu-mesh8 128^3 halo={halo}",
+            ["bench", "--preset", "sharded512", "--size", "128",
+             "--mesh", "8", "--halo", halo, "--steps", "8",
+             "--substeps", "4"],
+            CPU_ENV, timeout=1800))
+        _dump(rows)
+
+    if not quick:
+        # 4 × 512³ steps per row (2 warm + one 2-step sample) — a 512³
+        # 8-shard CPU step runs minutes on this 1-core box and the
+        # auto-partitioned program alone compiles ~20 min cold (cached
+        # thereafter); the first cut at --steps 4 --substeps 2 timed
+        # out at 5400 s AFTER its compile landed in the cache.
+        # --substeps stays 2 so the scan-length-2 program HITS that
+        # cache (a different substeps is a different HLO).
+        # Single-chip 512^3 on the real TPU (y-tiled kernels) FIRST —
+        # it is minutes, the CPU-mesh rows are hours.
+        rows.append(run_row(
+            "tpu-1chip 512^3",
+            ["bench", "--preset", "sharded512", "--steps", "20",
+             "--substeps", "10"],
+            TPU_ENV, timeout=2400))
+        _dump(rows)
+        for halo in ("auto", "explicit"):
+            rows.append(run_row(
+                f"cpu-mesh8 512^3 halo={halo}",
+                ["bench", "--preset", "sharded512", "--mesh", "8",
+                 "--halo", halo, "--steps", "2", "--substeps", "2"],
+                CPU_ENV, timeout=10000))
+            _dump(rows)
+
+    _dump(rows)
+    print(f"# wrote {os.path.join(REPO, 'MESH_BENCH.json')}", flush=True)
 
 
 if __name__ == "__main__":
